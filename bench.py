@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark: full WGAN-GP G+D train step throughput at 512x512.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The metric is combined G+D WGAN-GP steps/sec at the reference's flagship
+configuration (config_ex.py: 512x512, batch 8, latent 64, n_critic 1,
+lambda_gp 10, drift 1e-3), including the on-device augmentation pipeline —
+i.e., end-to-end training epochs per second times batches per epoch.
+
+The baseline divisor is the torch-reference equivalent measured on the
+available reference hardware (CPU; the reference repo supports cpu/mps/cuda
+and none was published — see BASELINE.md).  TORCH_REF_STEPS_PER_SEC below
+records that measurement; rerun with --measure-torch to refresh it.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Measured via `python bench.py --measure-torch` on this machine's CPU
+# (the only hardware the torch reference can run on here); see BASELINE.md.
+TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
+
+
+def bench_tpu(n_epochs_chunk=10):
+    import jax
+    import jax.numpy as jnp
+    from neuron_gan_tpu.models import (
+        PGConfig, init_generator_pg, init_discriminator_pg)
+    from neuron_gan_tpu.train_step import (
+        ChunkSpec, make_epoch_runner, make_optimizer, init_train_state)
+
+    cfg = PGConfig(
+        n_gen_features=(128, 64, 32, 32, 16, 16),
+        n_dis_features=(16, 16, 32, 32, 64, 128),
+        latent_dim=64, image_size_init=16, n_colors=1,
+    )
+    batch = 8
+    n_images = 16
+    spec = ChunkSpec(
+        phase=cfg.n_phases - 1, fading=False, n_critic=1, batch_size=batch,
+        n_images=n_images, shuffle=True, crop_size=512, translation=0.05,
+        augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
+        sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
+        lr_gamma=0.9998157, lr_boundary=0, lr_cap=12500, alpha_start=0,
+        alpha_step=1e-4, latent_dim=64)
+
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g = init_generator_pg(kg, cfg)
+    d = init_discriminator_pg(kd, cfg)
+    opt = make_optimizer()
+    state = init_train_state(g, d, opt)
+
+    rng = np.random.default_rng(0)
+    # padded 768x768 stack like the real dataset (512 + 2*128)
+    images = jnp.asarray(rng.random((n_images, 768, 768, 1)).astype(np.float32))
+
+    batches_per_epoch = n_images // batch
+    # One jitted call scans n_epochs_chunk epochs — per-dispatch overhead is
+    # amortized exactly as in training.  np.asarray forces a true host sync
+    # (block_until_ready alone returns early through the axon relay).
+    runner = make_epoch_runner(cfg, spec, n_epochs=n_epochs_chunk, donate=False)
+
+    state, stats = runner(state, images, jax.random.PRNGKey(0), 1)  # compile
+    np.asarray(stats)
+
+    t0 = time.perf_counter()
+    state, stats = runner(state, images, jax.random.PRNGKey(1), 1 + n_epochs_chunk)
+    stats_host = np.asarray(stats)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(stats_host).all(), 'non-finite training stats'
+    return n_epochs_chunk * batches_per_epoch / dt  # G+D steps/sec
+
+
+def bench_torch_reference(n_steps=2):
+    """Equivalent measurement of the torch reference's hot loop on CPU:
+    per batch = 1 critic step (D loss + GP double-backward + Adam) + 1 G step,
+    on the same architecture/sizes.  Uses plain torch modules implementing
+    the documented reference semantics."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    import math
+
+    torch.set_num_threads(max(1, __import__('os').cpu_count()))
+
+    feats_g = [128, 64, 32, 32, 16, 16]
+    feats_d = [16, 16, 32, 32, 64, 128]
+    latent, init, batch = 64, 16, 8
+    gain = torch.nn.init.calculate_gain('leaky_relu', 0.2)
+
+    class EqConv(nn.Conv2d):
+        def forward(self, x):
+            fan = self.weight.shape[1] * self.weight.shape[2] * self.weight.shape[3]
+            return super().forward((gain / math.sqrt(fan)) * x)
+
+    def pn(x):
+        return x / torch.sqrt(torch.mean(x ** 2, dim=1, keepdim=True) + 1e-8)
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(latent, feats_g[0] * init * init, bias=False)
+            self.conv0 = EqConv(feats_g[0], feats_g[0], 3, padding=1, bias=False)
+            self.blocks = nn.ModuleList()
+            for i in range(len(feats_g) - 1):
+                self.blocks.append(nn.ModuleList([
+                    EqConv(feats_g[i], feats_g[i + 1], 3, padding=1, bias=False),
+                    EqConv(feats_g[i + 1], feats_g[i + 1], 3, padding=1, bias=False)]))
+            self.to_rgb = nn.Conv2d(feats_g[-1], 1, 1, bias=False)
+
+        def forward(self, z):
+            x = self.lin((gain / math.sqrt(latent)) * z)
+            x = x.view(-1, feats_g[0], init, init)
+            x = pn(F.leaky_relu(x, 0.2))
+            x = pn(F.leaky_relu(self.conv0(x), 0.2))
+            for c1, c2 in self.blocks:
+                x = F.interpolate(x, scale_factor=2, mode='bilinear')
+                x = pn(F.leaky_relu(c1(x), 0.2))
+                x = pn(F.leaky_relu(c2(x), 0.2))
+            return torch.tanh(self.to_rgb(x))
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.from_rgb = nn.Conv2d(1, feats_d[0], 1)
+            self.blocks = nn.ModuleList()
+            for i in range(len(feats_d) - 1):
+                self.blocks.append(nn.ModuleList([
+                    EqConv(feats_d[i], feats_d[i + 1], 3, padding=1, bias=False),
+                    EqConv(feats_d[i + 1], feats_d[i + 1], 3, padding=1, bias=False)]))
+            self.conv = EqConv(feats_d[-1], feats_d[-1], 3, padding=1)
+            self.out = EqConv(feats_d[-1], 1, init)
+
+        def forward(self, x):
+            y = self.from_rgb(x)
+            for c1, c2 in self.blocks:
+                y = F.avg_pool2d(y, 2)
+                y = pn(F.leaky_relu(c1(y), 0.2))
+                y = pn(F.leaky_relu(c2(y), 0.2))
+            y = pn(F.leaky_relu(self.conv(y), 0.2))
+            return self.out(y).flatten(1)
+
+    g, d = G(), D()
+    opt_g = torch.optim.Adam(g.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(d.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    images = torch.randn(batch, 1, 512, 512)
+
+    def one_step():
+        # critic step with GP (double backward)
+        d.zero_grad()
+        z = torch.randn(batch, latent)
+        fake = g(z).detach()
+        loss = -d(images).mean() + d(fake).mean() + 1e-3 * d(images).pow(2).mean()
+        eps = torch.rand(batch, 1, 1, 1)
+        x_hat = (eps * images + (1 - eps) * fake).requires_grad_()
+        grad = torch.autograd.grad(d(x_hat).sum(), x_hat, create_graph=True)[0]
+        loss = loss + 10.0 * ((grad.norm(2, dim=(1, 2, 3)) - 1) ** 2).mean()
+        loss.backward()
+        opt_d.step()
+        # generator step
+        g.zero_grad()
+        gl = -d(g(torch.randn(batch, latent))).mean()
+        gl.backward()
+        opt_g.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        one_step()
+    return n_steps / (time.perf_counter() - t0)
+
+
+if __name__ == '__main__':
+    if '--measure-torch' in sys.argv:
+        sps = bench_torch_reference()
+        print(json.dumps({'torch_ref_steps_per_sec': sps}))
+        sys.exit(0)
+
+    value = bench_tpu()
+    baseline = TORCH_REF_STEPS_PER_SEC
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        'metric': 'wgan_gp_train_steps_per_sec_512',
+        'value': round(value, 3),
+        'unit': 'steps/sec (G+D, batch 8, 512x512, incl. on-device aug)',
+        'vs_baseline': round(vs, 2) if vs else None,
+    }))

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Evaluation CLI — same interface as the reference's eval.py:9-26.
+
+    python eval.py -n 20 -weights gen_dis_default.pth -output samples.png
+
+Loads generator weights (reference ``.pth`` via the torch-free importer, or
+this framework's native ``.npz``) and saves an n-sample grid.
+"""
+
+import argparse
+import os
+
+parser = argparse.ArgumentParser()
+parser.add_argument('-n', type=int, default=16, help='Number of samples created')
+parser.add_argument('-output', type=str, default='samples_default.png',
+                    help='Filename of the output image file stored in ./images')
+parser.add_argument('-weights', type=str, default='gen_dis_default.pth',
+                    help='Filename of the weights stored in ./weights')
+parser.add_argument('-ema', action='store_true', default=False,
+                    help='Sample from the EMA shadow generator when the '
+                         'checkpoint contains one (native .npz only)')
+options = parser.parse_args()
+
+from neuron_gan_tpu.configs import config
+
+weights_filepath = os.path.join(config.weights_dir, options.weights)
+output_filepath = os.path.join(config.images_dir, options.output)
+if not os.path.exists(weights_filepath):
+    raise FileExistsError(f'{weights_filepath} does not exist. Run setup.py.')
+
+import jax.numpy as jnp
+import jax
+
+from neuron_gan_tpu.utils.plotting import plot_gen_samples
+
+if weights_filepath.endswith('.pth'):
+    from neuron_gan_tpu.checkpoint import import_reference_checkpoint
+    g_params, _, model_cfg, growth, _ = import_reference_checkpoint(weights_filepath)
+    g_params = jax.tree.map(jnp.asarray, g_params)
+else:
+    from neuron_gan_tpu.checkpoint import load_pytree_npz
+    from neuron_gan_tpu.models import PGConfig, GrowthState
+    tree, meta = load_pytree_npz(weights_filepath)
+    state = tree if 'g_params' in tree else tree['state']
+    g_key = 'g_ema' if (options.ema and 'g_ema' in state) else 'g_params'
+    g_params = jax.tree.map(jnp.asarray, state[g_key])
+    n_feats = tuple(meta['N_gen_features'])
+    init = int(meta['image_size']) // (2 ** int(meta['phase'])) \
+        if 'phase' in meta else 4
+    model_cfg = PGConfig(
+        n_gen_features=n_feats,
+        n_dis_features=tuple(meta['N_dis_features']),
+        latent_dim=int(meta['latent_dim']),
+        image_size_init=init,
+    )
+    growth = GrowthState(model_cfg)
+    if int(meta['image_size']) > init or float(meta['alpha']) < 1.0:
+        growth.set_resolution(int(meta['image_size']), float(meta['alpha']))
+
+plot_gen_samples(g_params, model_cfg, growth, n_images=options.n,
+                 filename=output_filepath)
+print(f'Saved {options.n} samples to {output_filepath}')

@@ -1,0 +1,263 @@
+"""Global configuration module.
+
+Mirrors the reference config system (reference: configs/config.py:8-263):
+module-level globals hold every knob; a user config ``.py`` is imported
+dynamically with its names validated against this module's registry; explicit
+CLI flags take precedence over the user config, which takes precedence over
+the defaults (reference: train.py:95-104).  ID-keyed architecture tables and
+the validation asserts are preserved (reference: configs/config.py:84-109,
+:120-200).
+
+TPU-specific additions (not present in the reference) are grouped at the
+bottom under "TPU execution"; they default to values that reproduce the
+reference's numerical behavior.
+"""
+
+import os
+import sys
+import uuid
+from types import ModuleType, FunctionType
+
+##################### Default configurations #####################
+# Directories
+root_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir, os.pardir))
+configs_dir = os.path.dirname(__file__)
+data_dir = os.path.join(root_dir, 'data')
+images_dir = os.path.join(root_dir, 'images')
+weights_dir = os.path.join(root_dir, 'weights')
+plots_dir = os.path.join(root_dir, 'plots')
+logs_dir = os.path.join(root_dir, 'logs')
+
+# WGAN config (reference: configs/config.py:18-23)
+wgan = False          # Use the fixed-resolution Wasserstein GAN model family
+n_critic = 1          # Critic steps per generator step
+adapt_critic = False  # Adapt the number of critic steps from the loss series
+weights_init = ''     # Filename of initial G/D weights
+unroll_steps = 0      # Unrolled-GAN steps (accepted, unused — parity with reference train.py)
+
+# PGGAN config (reference: configs/config.py:26-30)
+pggan = True
+grad_pen_lambda = 10          # Gradient-penalty weight
+transit_sch = [25000, 50000, 75000, 100000, 125000]  # Epochs where transitions start
+transit_period = None         # If set, overrides transit_sch with a fixed period
+alpha_step = 0.0001           # Fade-in increment per epoch
+
+# Training (reference: configs/config.py:33-49)
+ID = uuid.uuid4().hex[:4]
+samples_sub_dir = os.path.join(images_dir, '{}'.format(ID))
+RMSprop = False
+learning_rate = 0.0001
+batch_size = 8
+N_epochs = 150000
+N_epochs_session = None      # Bound the number of epochs run in this session
+beta1 = 0.5                  # Adam beta1 (beta2 fixed to 0.999, reference train.py:224)
+sim_loss_lambda = 0.0
+sim_loss_lambda_decay_rate = 0.0
+drift_epsilon = 0.001
+resume = False
+N_workers = 2                # Accepted for CLI parity; the TPU pipeline is on-device
+seed = 1
+checkpointing_period = 100
+device = 'default'           # 'tpu', 'cpu', or 'default' (auto-pick)
+pin_memory = False           # Accepted for CLI parity; meaningless on TPU
+
+# Dataset (reference: configs/config.py:52-55)
+dataset_name = 'science_2022'
+dataset_dir = os.path.join(data_dir, dataset_name)
+translation = 0.05
+image_preprocessing = 'cpu'  # parity knob: 'cpu' = shuffled epochs (reference
+                             # DataLoader default), 'device' = sequential order
+                             # (reference DatasetIterator). Augmentation always
+                             # runs on-device here either way.
+
+# Architecture (reference: configs/config.py:58-63)
+latent_dim = 512
+image_size = 512
+N_colors = 1
+LeakyReLU_leak = 0.2
+N_gen_features = [128, 64, 32, 32, 16, 16]
+N_dis_features = [16, 16, 32, 32, 64, 128]
+
+# TPU execution (new; no reference counterpart)
+mesh_shape = None            # e.g. {'data': 8} or {'data': 4, 'model': 2}; None = single chip
+compute_dtype = 'float32'    # 'float32' or 'bfloat16' activation dtype for model compute
+matmul_precision = 'highest' # jax matmul precision for convs ('default'|'high'|'highest')
+use_pallas = False           # Enable Pallas fused kernels where available
+ema_beta = 0.0               # EMA decay for a shadow generator (0 disables; stretch goal)
+donate_state = True          # Donate train-state buffers to jit (in-place update on device)
+
+################################### END OF CONFIGURATION VARIABLES ###################################
+local_vars = dict(locals())
+
+
+def is_var_a_config(x: str):
+    """A module-level name is a config knob unless it is private/module/function."""
+    if x in ('local_vars', 'is_var_a_config') or x.startswith('__'):
+        return False
+    if x not in local_vars:
+        return False
+    return not isinstance(local_vars[x], (ModuleType, FunctionType))
+
+
+configs_name = {var: val for var, val in local_vars.items() if is_var_a_config(var)}
+
+
+def define_ID_dependent_configs():
+    """ID-keyed architecture lookup (reference: configs/config.py:84-109)."""
+    global ID, N_gen_features, N_dis_features, samples_sub_dir
+    assert ID != '', 'ID is not defined.'
+    if ID in ['0004', '0005']:
+        N_gen_features = [1024, 512, 256, 128, 64, 32, 16, 8]
+        N_dis_features = [16, 32, 64, 128, 128, 128, 128]
+    elif ID in ['0006']:
+        N_gen_features = [512, 256, 128, 64, 32, 16, 8, 8]
+        N_dis_features = [64, 128, 256, 256, 256, 128, 64]
+    elif ID in ['0007']:
+        N_gen_features = [512, 256, 128, 64, 32, 16]
+        N_dis_features = [16, 32, 64, 128, 256, 512]
+    elif ID in ['0008']:
+        N_gen_features = [512, 256, 128, 64]
+        N_dis_features = [64, 128, 256, 512]
+    elif ID in ['0009']:
+        N_gen_features = [32, 32, 32, 32, 16, 16]
+        N_dis_features = [16, 16, 32, 32, 32, 32]
+    elif ID in [str(i).rjust(4, '0') for i in range(10, 13)]:
+        N_gen_features = [128, 64, 32, 32, 16, 16]
+        N_dis_features = [16, 16, 32, 32, 64, 128]
+    samples_sub_dir = os.path.join(images_dir, '{}'.format(ID))
+
+
+def print_configs():
+    print('Configurations:')
+    module = sys.modules[__name__]
+    for name in configs_name:
+        print(f'{name}:', getattr(module, name))
+
+
+def validate_configs(interactive=True):
+    """Validation asserts + directory creation (reference: configs/config.py:120-200)."""
+    global device, dataset_dir, images_dir, samples_sub_dir, weights_dir, plots_dir
+    dataset_dir = os.path.abspath(dataset_dir)
+    images_dir = os.path.abspath(images_dir)
+    samples_sub_dir = os.path.abspath(samples_sub_dir)
+    weights_dir = os.path.abspath(weights_dir)
+    plots_dir = os.path.abspath(plots_dir)
+
+    os.makedirs(images_dir, exist_ok=True)
+    os.makedirs(weights_dir, exist_ok=True)
+    os.makedirs(plots_dir, exist_ok=True)
+    os.makedirs(logs_dir, exist_ok=True)
+
+    # Samples sub-directory collision prompt (reference: configs/config.py:136-146)
+    from neuron_gan_tpu.utils.io import validated_input
+    import shutil
+    if os.path.exists(samples_sub_dir) and not resume:
+        if interactive:
+            prompt = ('Samples directory already exists.\nSamples directory:{}\n'
+                      'Erase and create a new directory(y/n)?'.format(samples_sub_dir))
+            ans = validated_input(prompt, lambda x: x in ['y', 'n'], default='n')
+            if ans == 'y':
+                shutil.rmtree(samples_sub_dir)
+                os.makedirs(samples_sub_dir, exist_ok=True)
+    elif not os.path.exists(samples_sub_dir):
+        os.makedirs(samples_sub_dir, exist_ok=True)
+
+    # Default device: prefer TPU, fall back to whatever JAX has.
+    if device == 'default':
+        import jax
+        device = jax.default_backend()  # 'tpu' or 'cpu'
+
+    import math
+    image_size_log = round(math.log2(image_size))
+    assert image_size == 2 ** image_size_log, 'Image size must be a power of 2.'
+    assert ID != '', 'The training ID is undefined.'
+    assert compute_dtype in ('float32', 'bfloat16'), f'compute_dtype:{compute_dtype} is not supported.'
+
+    if pggan:
+        global transit_sch, transit_period
+        err_msg = 'The number of layers in the generator and discriminator must match.'
+        assert len(N_gen_features) == len(N_dis_features), err_msg
+
+        N_upsamples = len(N_gen_features) - 1
+        image_size_initial = image_size // (2 ** N_upsamples)
+        assert image_size_initial >= 4, 'The initial image size must be >= 4. Reduce the number of layers'
+
+        if transit_period is not None:
+            transit_sch = [i * transit_period for i in range(1, N_upsamples + 1)]
+
+        err_msg = ('The number of transitions ({}) does not match the number of '
+                   'convolution layers ({})'.format(len(transit_sch), N_upsamples))
+        assert N_upsamples == len(transit_sch), err_msg
+        assert N_epochs > transit_sch[-1], \
+            'The number of epochs must be greater than the last resolution transition'
+
+        N_transition_epochs = math.ceil(1 / alpha_step)
+        diffs = [b - a for a, b in zip(transit_sch, transit_sch[1:])]
+        err_msg = 'The transitions must be separated by at least {} epochs'.format(N_transition_epochs)
+        assert all(d > N_transition_epochs for d in diffs), err_msg
+
+
+define_ID_dependent_configs()
+
+
+def import_configs(filename, overwritten_configs=None, interactive=True):
+    """Dynamically exec a user config .py, validate names, merge CLI overrides.
+
+    Precedence: defaults < user config module < overwritten_configs
+    (reference: configs/config.py:208-263).
+    """
+    if overwritten_configs is None:
+        overwritten_configs = {}
+    else:
+        for config_name in overwritten_configs:
+            if config_name not in configs_name:
+                raise ValueError(f"The overwritten config '{config_name}' is not defined.")
+
+    base_name, ext = os.path.splitext(filename)
+    if ext == '':
+        filename += '.py'
+    elif ext != '.py':
+        raise ValueError('Filename must be a .py file')
+
+    config_filepath = filename if os.path.isabs(filename) else os.path.join(configs_dir, filename)
+    if not os.path.exists(config_filepath) and not os.path.isabs(filename):
+        # Also look next to the caller's CWD ./configs, so user projects can
+        # keep their configs outside the installed package.
+        alt = os.path.join(os.getcwd(), 'configs', filename)
+        if os.path.exists(alt):
+            config_filepath = alt
+    assert os.path.exists(config_filepath), \
+        f'The configuration file {filename} does not exist in {configs_dir}'
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location('user.config', config_filepath)
+    imported_configs = importlib.util.module_from_spec(spec)
+    sys.modules['user.config'] = imported_configs
+    spec.loader.exec_module(imported_configs)
+
+    # Keep only whitelisted config names in the imported module.
+    imported_configs_name = list(imported_configs.__dict__.keys())
+    for config_name in imported_configs_name:
+        value = getattr(imported_configs, config_name)
+        if isinstance(value, (ModuleType, FunctionType)) or config_name.startswith('__'):
+            delattr(imported_configs, config_name)
+        elif config_name not in configs_name:
+            raise ValueError(f"The imported config '{config_name}' is not defined.")
+
+    for name, val in overwritten_configs.items():
+        setattr(imported_configs, name, val)
+
+    config_module = sys.modules[__name__]
+    for config_name in imported_configs.__dict__:
+        setattr(config_module, config_name, getattr(imported_configs, config_name))
+
+    global samples_sub_dir
+    samples_sub_dir = os.path.join(images_dir, '{}'.format(ID))
+
+    define_ID_dependent_configs()
+    validate_configs(interactive=interactive)
+
+
+if __name__ == '__main__':
+    import_configs('config_ex.py')
+    print_configs()

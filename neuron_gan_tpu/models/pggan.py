@@ -1,0 +1,322 @@
+"""Progressively-growing GAN as phase-indexed pure functions (TPU-native).
+
+Design vs the reference (models.py:272-616): the reference mutates module
+topology at fade-in completion (popping blocks between ModuleLists,
+models.py:368-377/:539-549).  Under XLA, shapes must be static per
+compilation, so instead:
+
+* the **full parameter pytree for every phase is allocated up front** —
+  parameters are phase-independent, and blocks not yet reached simply get
+  zero gradient;
+* the forward is a pure function ``f(params, x, phase, alpha)`` with
+  ``phase`` **static** (one XLA executable per (phase, fading?) pair) and
+  ``alpha`` **traced** (fade-in advances with zero recompiles);
+* growth becomes switching to the next compiled executable — the
+  ``GrowthState`` dataclass replays the reference's growth state machine
+  (increase_resolution / advance_transition / set_resolution,
+  models.py:355-392) without touching parameters.
+
+Architecture parity map (all shapes NHWC, weights HWIO):
+
+* stem       = Linear_normalized(latent -> F0*init^2, bias=False) + Unflatten
+               + LeakyReLU + PixelNorm + eq-Conv3x3(F0->F0, bias=False)
+               + LeakyReLU + PixelNorm                  (models.py:295-316)
+* G block i  = up2-bilinear then 2x [eq-Conv3x3 bias=False + LReLU + PixelNorm]
+               mapping F[i] -> F[i+1]                   (models.py:245-268, 319-324)
+* to_rgb[i]  = plain 1x1 conv (kaiming init, bias=False) + tanh
+               (models.py:133-152)
+* D block i  = AvgPool2 then 2x [eq-Conv3x3 bias=False + LReLU + PixelNorm]
+               mapping Fd[i] -> Fd[i+1]                 (models.py:493-498)
+* from_rgb[i]= plain 1x1 conv (kaiming init, with bias) (models.py:156-168)
+* D head     = eq-Conv3x3(Fl->Fl, bias) + LReLU + PixelNorm
+               + eq-Conv(init x init)(Fl->1, bias, VALID) + flatten
+               (models.py:468-490; pure-conv critic, no sigmoid, and — like
+               the reference — **no minibatch-stddev layer**)
+
+Fade-in forward paths follow models.py:344-351 (G) and :516-524 (D).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from neuron_gan_tpu.ops import (
+    conv2d,
+    equalized_conv2d,
+    equalized_linear,
+    fade_in,
+    init_conv2d,
+    init_linear,
+    leaky_relu,
+    pixel_norm,
+    upsample2_bilinear,
+    avg_pool,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PGConfig:
+    """Static architecture description shared by G and D."""
+    n_gen_features: tuple
+    n_dis_features: tuple
+    latent_dim: int = 512
+    image_size_init: int = 4
+    n_colors: int = 1
+    neg_slope: float = 0.2
+    compute_dtype: str = 'float32'
+    # 'highest' keeps f32 convs in true f32 (XLA's default runs them as
+    # low-precision passes, which breaks parity with the torch reference);
+    # for speed, switch compute_dtype to 'bfloat16' instead of lowering this.
+    precision: Optional[str] = 'highest'
+
+    def __post_init__(self):
+        object.__setattr__(self, 'n_gen_features', tuple(self.n_gen_features))
+        object.__setattr__(self, 'n_dis_features', tuple(self.n_dis_features))
+        assert len(self.n_gen_features) == len(self.n_dis_features)
+
+    @property
+    def n_layers_max(self) -> int:
+        return len(self.n_gen_features)
+
+    @property
+    def n_phases(self) -> int:
+        """Number of resolution phases (0 .. n_layers_max-1)."""
+        return self.n_layers_max
+
+    @property
+    def image_size_max(self) -> int:
+        return self.image_size_init * 2 ** (self.n_layers_max - 1)
+
+    def resolution(self, phase: int) -> int:
+        return self.image_size_init * 2 ** phase
+
+    def phase_of_resolution(self, res: int) -> int:
+        p = int(math.log2(res / self.image_size_init))
+        assert self.resolution(p) == res, f'{res} is not a phase resolution'
+        return p
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+# --------------------------------------------------------------------------
+# Parameter initialization (full pytree for all phases up front)
+# --------------------------------------------------------------------------
+
+def init_generator_pg(key, cfg: PGConfig, dtype=jnp.float32):
+    f = cfg.n_gen_features
+    init = cfg.image_size_init
+    ks = jax.random.split(key, 2 + 2 * (len(f) - 1) + len(f))
+    ki = iter(ks)
+
+    stem = {
+        'linear': init_linear(next(ki), cfg.latent_dim, f[0] * init * init,
+                              bias=False, neg_slope=cfg.neg_slope, dtype=dtype),
+        'conv': init_conv2d(next(ki), f[0], f[0], 3, bias=False,
+                            neg_slope=cfg.neg_slope, dtype=dtype),
+    }
+    blocks = []
+    for i in range(len(f) - 1):
+        blocks.append({
+            'conv1': init_conv2d(next(ki), f[i], f[i + 1], 3, bias=False,
+                                 neg_slope=cfg.neg_slope, dtype=dtype),
+            'conv2': init_conv2d(next(ki), f[i + 1], f[i + 1], 3, bias=False,
+                                 neg_slope=cfg.neg_slope, dtype=dtype),
+        })
+    to_rgb = [init_conv2d(next(ki), f[i], cfg.n_colors, 1, bias=False,
+                          neg_slope=cfg.neg_slope, dtype=dtype)
+              for i in range(len(f))]
+    return {'stem': stem, 'blocks': blocks, 'to_rgb': to_rgb}
+
+
+def init_discriminator_pg(key, cfg: PGConfig, dtype=jnp.float32):
+    f = cfg.n_dis_features
+    init = cfg.image_size_init
+    ks = jax.random.split(key, 2 + 2 * (len(f) - 1) + len(f))
+    ki = iter(ks)
+
+    head = {
+        'conv': init_conv2d(next(ki), f[-1], f[-1], 3, bias=True,
+                            neg_slope=cfg.neg_slope, dtype=dtype),
+        'conv_out': init_conv2d(next(ki), f[-1], 1, init, bias=True,
+                                neg_slope=cfg.neg_slope, dtype=dtype),
+    }
+    blocks = []
+    for i in range(len(f) - 1):
+        blocks.append({
+            'conv1': init_conv2d(next(ki), f[i], f[i + 1], 3, bias=False,
+                                 neg_slope=cfg.neg_slope, dtype=dtype),
+            'conv2': init_conv2d(next(ki), f[i + 1], f[i + 1], 3, bias=False,
+                                 neg_slope=cfg.neg_slope, dtype=dtype),
+        })
+    from_rgb = [init_conv2d(next(ki), cfg.n_colors, f[i], 1, bias=True,
+                            neg_slope=cfg.neg_slope, dtype=dtype)
+                for i in range(len(f))]
+    return {'head': head, 'blocks': blocks, 'from_rgb': from_rgb}
+
+
+# --------------------------------------------------------------------------
+# Forward passes
+# --------------------------------------------------------------------------
+
+def _gen_block(x, p, cfg: PGConfig):
+    """Upsample-then-two-convs generator block (models.py:245-268, scale=2)."""
+    x = upsample2_bilinear(x)
+    x = pixel_norm(leaky_relu(
+        equalized_conv2d(x, p['conv1'], padding=1, neg_slope=cfg.neg_slope,
+                         precision=cfg.precision), cfg.neg_slope))
+    x = pixel_norm(leaky_relu(
+        equalized_conv2d(x, p['conv2'], padding=1, neg_slope=cfg.neg_slope,
+                         precision=cfg.precision), cfg.neg_slope))
+    return x
+
+
+def _dis_block(x, p, cfg: PGConfig):
+    """AvgPool-then-two-convs discriminator block (models.py:245-268, scale=0.5)."""
+    x = avg_pool(x, 2)
+    x = pixel_norm(leaky_relu(
+        equalized_conv2d(x, p['conv1'], padding=1, neg_slope=cfg.neg_slope,
+                         precision=cfg.precision), cfg.neg_slope))
+    x = pixel_norm(leaky_relu(
+        equalized_conv2d(x, p['conv2'], padding=1, neg_slope=cfg.neg_slope,
+                         precision=cfg.precision), cfg.neg_slope))
+    return x
+
+
+def _to_rgb(x, p, cfg: PGConfig):
+    """1x1 projection to color space + tanh (models.py:133-152)."""
+    return jnp.tanh(conv2d(x, p, padding=0, precision=cfg.precision))
+
+
+def _from_rgb(x, p, cfg: PGConfig):
+    """1x1 projection from color space, no activation (models.py:156-168)."""
+    return conv2d(x, p, padding=0, precision=cfg.precision)
+
+
+def _gen_stem(params, z, cfg: PGConfig):
+    init = cfg.image_size_init
+    f0 = cfg.n_gen_features[0]
+    x = equalized_linear(z, params['stem']['linear'], neg_slope=cfg.neg_slope,
+                         precision=cfg.precision)
+    # torch Unflatten produces CHW ordering (models.py:301-302); transpose to
+    # NHWC so imported linear weights stay element-for-element compatible.
+    x = x.reshape(-1, f0, init, init).transpose(0, 2, 3, 1)
+    x = pixel_norm(leaky_relu(x, cfg.neg_slope))
+    x = pixel_norm(leaky_relu(
+        equalized_conv2d(x, params['stem']['conv'], padding=1,
+                         neg_slope=cfg.neg_slope, precision=cfg.precision),
+        cfg.neg_slope))
+    return x
+
+
+def generator_pg(params, z, cfg: PGConfig, phase: int, alpha=None):
+    """Generator forward. ``phase`` static; ``alpha`` traced or None.
+
+    phase k => output resolution init * 2^k.  ``alpha is None`` = steady
+    state (reference models.py:353); otherwise the fade-in path
+    (models.py:344-351) blending the upsampled previous-resolution image with
+    the new block's output.
+    """
+    z = z.astype(cfg.dtype)
+    x = _gen_stem(params, z, cfg)
+    if alpha is None:
+        for i in range(phase):
+            x = _gen_block(x, params['blocks'][i], cfg)
+        return _to_rgb(x, params['to_rgb'][phase], cfg)
+    assert phase >= 1, 'fade-in requires phase >= 1'
+    for i in range(phase - 1):
+        x = _gen_block(x, params['blocks'][i], cfg)
+    im_start = upsample2_bilinear(_to_rgb(x, params['to_rgb'][phase - 1], cfg))
+    im_end = _to_rgb(_gen_block(x, params['blocks'][phase - 1], cfg),
+                     params['to_rgb'][phase], cfg)
+    return fade_in(im_start, im_end, alpha)
+
+
+def _dis_head(y, params, cfg: PGConfig):
+    y = pixel_norm(leaky_relu(
+        equalized_conv2d(y, params['head']['conv'], padding=1,
+                         neg_slope=cfg.neg_slope, precision=cfg.precision),
+        cfg.neg_slope))
+    y = equalized_conv2d(y, params['head']['conv_out'], padding=0,
+                         neg_slope=cfg.neg_slope, precision=cfg.precision)
+    return y.reshape(y.shape[0], -1)  # (B, 1): pure-conv critic score
+
+
+def discriminator_pg(params, x, cfg: PGConfig, phase: int, alpha=None):
+    """Discriminator forward; mirrors generator_pg's phase/alpha contract.
+
+    At phase k the input is (B, init*2^k, init*2^k, C).  Block i maps
+    Fd[i] -> Fd[i+1]; with L = n_layers_max, phase k uses from_rgb[L-1-k]
+    and blocks[L-1-k .. L-2] (reference models.py:516-524 unrolled).
+    """
+    x = x.astype(cfg.dtype)
+    L = cfg.n_layers_max
+    if alpha is None:
+        y = _from_rgb(x, params['from_rgb'][L - 1 - phase], cfg)
+        for i in range(L - 1 - phase, L - 1):
+            y = _dis_block(y, params['blocks'][i], cfg)
+        return _dis_head(y, params, cfg)
+    assert phase >= 1, 'fade-in requires phase >= 1'
+    y_start = _from_rgb(avg_pool(x, 2), params['from_rgb'][L - phase], cfg)
+    y_end = _dis_block(_from_rgb(x, params['from_rgb'][L - 1 - phase], cfg),
+                       params['blocks'][L - 1 - phase], cfg)
+    y = fade_in(y_start, y_end, alpha)
+    for i in range(L - phase, L - 1):
+        y = _dis_block(y, params['blocks'][i], cfg)
+    return _dis_head(y, params, cfg)
+
+
+# --------------------------------------------------------------------------
+# Growth state machine (host-side; replays reference models.py:355-392)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GrowthState:
+    """Tracks (phase, alpha) exactly like the reference's mutable nets.
+
+    ``alpha`` here is a plain float mirror of the reference's buffer; the
+    traced copy fed into jitted steps is derived from it.  ``fading`` is
+    True while alpha < 1 (the reference's `if self.alpha < 1` branch).
+    """
+    cfg: PGConfig
+    phase: int = 0
+    alpha: float = 1.0
+
+    @property
+    def image_size(self) -> int:
+        return self.cfg.resolution(self.phase)
+
+    @property
+    def fading(self) -> bool:
+        return self.alpha < 1.0
+
+    def increase_resolution(self):
+        assert self.alpha >= 1, 'The previous transition has not ended.'
+        self.alpha = 0.0
+        self.phase += 1
+        assert self.image_size <= self.cfg.image_size_max, (
+            f'The image size ({self.image_size}) is greater than the maximum '
+            f'({self.cfg.image_size_max})')
+
+    def advance_transition(self, alpha_step=0.1):
+        self.alpha += alpha_step
+        # (No topology mutation needed at alpha >= 1 — the functional forward
+        # switches to the steady-state executable when fading becomes False.)
+
+    def set_resolution(self, res: int, alpha=1.0):
+        assert res % self.image_size == 0, \
+            'The resolution must be divisible by {}'.format(self.image_size)
+        assert math.log2(res / self.image_size).is_integer()
+        assert res <= self.cfg.image_size_max
+        while self.image_size < res:
+            self.increase_resolution()
+            if self.image_size == res:
+                self.advance_transition(alpha)
+            else:
+                self.advance_transition(1.0)

@@ -1,0 +1,28 @@
+"""PixelNorm and LeakyReLU (functional, NHWC).
+
+PixelNorm normalizes each pixel's feature vector:
+``x / sqrt(mean(x^2, channel) + eps)`` (reference: models.py:104-129, the
+"Option 2" the reference settled on).  Channels are the last axis here.
+
+``lrelu_pixel_norm`` is the fused form of the LeakyReLU->PixelNorm pair that
+follows every conv in the PGGAN blocks (reference: models.py:259-268) — XLA
+fuses this chain into the conv epilogue on TPU; an optional Pallas kernel
+lives in ops/pallas_kernels.py for when profiling justifies hand-fusion.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def leaky_relu(x, neg_slope=0.2):
+    return jnp.where(x >= 0, x, x * neg_slope)
+
+
+def pixel_norm(x, eps=1e-8):
+    """Per-pixel feature normalization over the channel (last) axis."""
+    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(ms + eps)
+
+
+def lrelu_pixel_norm(x, neg_slope=0.2, eps=1e-8):
+    return pixel_norm(leaky_relu(x, neg_slope), eps)

@@ -1,0 +1,346 @@
+"""Jitted training: one XLA executable per (phase, fading?, n_critic) tuple.
+
+The reference's hot loop (train.py:350-394) runs, per batch: N_D critic
+updates — each a critic Wasserstein loss + gradient penalty + Adam step —
+then one generator update; epochs iterate batches of the (tiny) dataset.
+Here the *entire epoch chunk* is one jitted function:
+
+  run_epochs(state, images_stack, key, first_epoch)
+    -> lax.scan over epochs
+         -> per epoch: permutation (shuffle), lr(epoch), alpha(epoch),
+            sim-lambda(epoch) computed in-graph (traced scalars — fade-in and
+            LR decay cause ZERO recompiles)
+         -> lax.scan over batches
+              -> on-device augmentation of the HBM-resident stack
+              -> n_critic critic updates (statically unrolled; fresh latents
+                 and GP interpolation draws per update, matching
+                 loss_functions.py:25/:166-170)
+              -> one generator update
+    -> stacked per-epoch stats (score_real/fake, D/G loss, grad-pen, sim)
+
+Chunks are cut by the host driver at phase transitions, fade-in completion,
+and checkpoint boundaries, so every static parameter (phase, fading,
+n_critic, batch geometry) is constant within a chunk.
+
+Optimizers replicate torch semantics: Adam(beta1, 0.999, eps=1e-8) with
+bias correction and eps *outside* the sqrt (train.py:224-225), or RMSprop
+(alpha=0.99, eps outside sqrt) when config.RMSprop (train.py:221-222).
+
+LR schedule replicates train.py:250-265: reset to lr0 at each phase
+boundary, exponential decay by x(1/100) over the first half of the phase,
+flat thereafter.  (Divergence note: on resume past a phase's half-way point
+the reference would run at full lr0 until the next boundary because
+update_lr only ever *lowers* lr inside the first half — we implement the
+intended schedule, a pure function of epoch.)
+
+Multi-chip: pass a jax.sharding.Mesh + axis names; the batch is annotated
+with a 'data'-axis sharding constraint after augmentation, and parameters
+may be laid out with model-axis sharding by the caller (parallel/mesh.py).
+XLA inserts the gradient psums over ICI.
+"""
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
+from neuron_gan_tpu.losses import (
+    d_grad_pen_loss, d_w_loss, g_w_loss, similarity_loss,
+)
+from neuron_gan_tpu.models import PGConfig, discriminator_pg, generator_pg
+from neuron_gan_tpu.utils.latents import sample_latent_vec
+
+
+# --------------------------------------------------------------------------
+# Optimizers (torch-semantics)
+# --------------------------------------------------------------------------
+
+def _scale_by_rms_torch(decay=0.99, eps=1e-8):
+    """torch.optim.RMSprop update: g / (sqrt(v) + eps), v EMA with `decay`."""
+
+    def init_fn(params):
+        return {'nu': jax.tree.map(jnp.zeros_like, params)}
+
+    def update_fn(updates, state, params=None):
+        nu = jax.tree.map(lambda n, g: decay * n + (1 - decay) * g * g,
+                          state['nu'], updates)
+        upd = jax.tree.map(lambda g, n: g / (jnp.sqrt(n) + eps), updates, nu)
+        return upd, {'nu': nu}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(beta1=0.5, rmsprop=False):
+    """LR-less transform; the (per-epoch traced) lr is applied at use."""
+    if rmsprop:
+        return _scale_by_rms_torch(decay=0.99, eps=1e-8)
+    return optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
+
+
+def init_train_state(g_params, d_params, opt, ema_beta=0.0):
+    state = {
+        'g_params': g_params,
+        'd_params': d_params,
+        'g_opt': opt.init(g_params),
+        'd_opt': opt.init(d_params),
+    }
+    if ema_beta > 0:
+        state['g_ema'] = jax.tree.map(jnp.array, g_params)
+    return state
+
+
+def _apply_update(params, opt_state, grads, opt, lr):
+    updates, new_opt_state = opt.update(grads, opt_state, params)
+    new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+    return new_params, new_opt_state
+
+
+# --------------------------------------------------------------------------
+# Pure schedules (reference train.py:233-265, :319-321, :343-348)
+# --------------------------------------------------------------------------
+
+def make_lr_schedule(lr0, transit_sch, n_epochs, total_decay=1 / 100):
+    """Returns lr_at(epoch) giving the lr in effect while training `epoch`.
+
+    Matches update_lr (train.py:250-265) evaluated at epoch-1 (the reference
+    updates the optimizer after each epoch and once before the loop).
+    """
+    boundaries = [0] + list(transit_sch) + [n_epochs]
+    phase_lens = [boundaries[i + 1] - boundaries[i] for i in range(len(boundaries) - 1)]
+    gammas = [math.exp(math.log(total_decay) / (pl / 2)) for pl in phase_lens]
+
+    def lr_at(epoch: int) -> float:
+        e = epoch - 1  # lr set by update_lr(epoch-1)
+        if e <= 0 or e in boundaries:
+            return lr0
+        phase = sum(e > t for t in transit_sch)
+        e_since = e - boundaries[phase]
+        cap = phase_lens[phase] / 2
+        steps = min(e_since, math.floor(cap))
+        return lr0 * (gammas[phase] ** steps)
+
+    return lr_at
+
+
+def alpha_at(epoch: int, transit_sch, alpha_step) -> float:
+    """Alpha in effect while training `epoch` (1.0 when no fade active).
+
+    A transition starting at epoch e0 trains that epoch with alpha=0 and
+    advances by alpha_step each subsequent epoch (train.py:319-333).
+    """
+    for e0 in reversed(list(transit_sch)):
+        if epoch >= e0:
+            a = (epoch - e0) * alpha_step
+            return min(a, 1.0)
+    return 1.0
+
+
+def sim_lambda_at(epoch: int, lam0: float, decay_rate: float) -> float:
+    """Similarity-loss weight decay (train.py:343-348)."""
+    if lam0 <= 0:
+        return 0.0
+    if decay_rate <= 0:
+        return lam0
+    lam = lam0 * (1 - decay_rate) ** (epoch - 1)
+    return lam if lam > 1e-5 else 0.0
+
+
+# --------------------------------------------------------------------------
+# Epoch-chunk runner factory
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ChunkSpec:
+    """Everything static for one jitted epoch chunk."""
+    phase: int
+    fading: bool
+    n_critic: int
+    batch_size: int
+    n_images: int
+    shuffle: bool
+    crop_size: int            # dataset max resolution (CenterCrop target)
+    translation: float
+    augment: bool
+    gp_lambda: float
+    drift_epsilon: float
+    sim_lambda0: float
+    sim_decay: float
+    beta1: float
+    rmsprop: bool
+    lr0: float
+    lr_gamma: float           # per-phase decay factor
+    lr_boundary: int          # epoch where this phase began
+    lr_cap: int               # floor(phase_len / 2)
+    alpha_start: int          # transition start epoch (fading chunks)
+    alpha_step: float
+    latent_dim: int
+    data_axis: Optional[str] = None   # mesh axis name for batch sharding
+    # lr while training the transition epoch itself (= previous phase's final
+    # lr; the reference resets only from the following epoch, train.py:252)
+    lr_prev_final: float = -1.0
+    # EMA decay for a shadow generator (stretch feature, BASELINE.json
+    # config 5; 0 disables — the train state then has no 'g_ema' entry)
+    ema_beta: float = 0.0
+
+    @property
+    def n_batches(self):
+        assert self.n_images % self.batch_size == 0, (
+            'on-device epoch scan needs batch_size to divide the dataset; '
+            f'got {self.n_images} % {self.batch_size}')
+        return self.n_images // self.batch_size
+
+
+def _traced_lr(spec: ChunkSpec, epoch):
+    """In-graph mirror of make_lr_schedule for a single (static) phase."""
+    e = epoch - 1
+    e_since = e - spec.lr_boundary
+    steps = jnp.clip(e_since, 0, spec.lr_cap).astype(jnp.float32)
+    lr = spec.lr0 * jnp.power(jnp.float32(spec.lr_gamma), steps)
+    # e_since < 0 happens only at the transition epoch itself, which still
+    # runs at the previous phase's final lr (reset applies from the next one).
+    prev = spec.lr_prev_final if spec.lr_prev_final >= 0 else spec.lr0
+    return jnp.where(e_since < 0, jnp.float32(prev), lr)
+
+
+@functools.lru_cache(maxsize=None)
+def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
+                      donate: bool = True):
+    """Build the jitted chunk runner for (cfg, spec, n_epochs)."""
+    out_size = cfg.resolution(spec.phase)
+    aug_spec = AugmentSpec(crop_size=spec.crop_size, out_size=out_size,
+                           translation=spec.translation, augment=spec.augment)
+    opt = make_optimizer(spec.beta1, spec.rmsprop)
+    B = spec.batch_size
+
+    def g_apply_with(alpha):
+        a = alpha if spec.fading else None
+        return lambda p, z: generator_pg(p, z, cfg, spec.phase, a)
+
+    def d_apply_with(alpha):
+        a = alpha if spec.fading else None
+        return lambda p, x: discriminator_pg(p, x, cfg, spec.phase, a)
+
+    def shard_batch(x):
+        if spec.data_axis is None:
+            return x
+        from jax.sharding import PartitionSpec as P
+        ndim = x.ndim
+        return jax.lax.with_sharding_constraint(
+            x, P(spec.data_axis, *([None] * (ndim - 1))))
+
+    def batch_body(state, inp, alpha, lr, sim_lam):
+        raw_batch, k_batch = inp
+        g_apply = g_apply_with(alpha)
+        d_apply = d_apply_with(alpha)
+
+        images = augment_batch(raw_batch, jax.random.fold_in(k_batch, 0), aug_spec)
+        images = shard_batch(images)
+
+        g_params, d_params = state['g_params'], state['d_params']
+        g_opt, d_opt = state['g_opt'], state['d_opt']
+
+        def d_total_loss(d_params_, z1, z2, eps):
+            loss_w, (sr, sf) = d_w_loss(d_apply, g_apply, d_params_, g_params,
+                                        images, z1, spec.drift_epsilon)
+            if spec.gp_lambda > 0:
+                fake = jax.lax.stop_gradient(g_apply(g_params, z2))
+                gp = d_grad_pen_loss(d_apply, d_params_, images, fake, eps,
+                                     spec.gp_lambda)
+            else:
+                gp = jnp.zeros((), images.dtype)
+            return loss_w + gp, (sr, sf, gp)
+
+        sr = sf = gp = d_loss_val = jnp.zeros((), images.dtype)
+        for j in range(spec.n_critic):
+            kj = jax.random.fold_in(k_batch, 1 + j)
+            z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (B, spec.latent_dim))
+            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (B, spec.latent_dim))
+            eps = jax.random.uniform(jax.random.fold_in(kj, 2), (B,))
+            (d_loss_val, (sr, sf, gp)), d_grads = jax.value_and_grad(
+                d_total_loss, has_aux=True)(d_params, z1, z2, eps)
+            d_params, d_opt = _apply_update(d_params, d_opt, d_grads, opt, lr)
+
+        if spec.n_critic == 0:
+            # loss computed for monitoring only (train.py:369-372)
+            kj = jax.random.fold_in(k_batch, 1)
+            z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (B, spec.latent_dim))
+            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (B, spec.latent_dim))
+            eps = jax.random.uniform(jax.random.fold_in(kj, 2), (B,))
+            d_loss_val, (sr, sf, gp) = d_total_loss(d_params, z1, z2, eps)
+
+        # Generator update
+        kg = jax.random.fold_in(k_batch, 101)
+        zg = sample_latent_vec(kg, (B, spec.latent_dim))
+
+        def g_total_loss(g_params_):
+            loss, z = g_w_loss(g_apply, d_apply, g_params_, d_params, zg)
+            if spec.sim_lambda0 > 0:
+                s = similarity_loss(images, z, 1.0) * sim_lam
+                return loss + s, s
+            return loss, jnp.zeros((), images.dtype)
+
+        (g_loss_val, g_sim), g_grads = jax.value_and_grad(
+            g_total_loss, has_aux=True)(g_params)
+        g_params, g_opt = _apply_update(g_params, g_opt, g_grads, opt, lr)
+
+        new_state = {'g_params': g_params, 'd_params': d_params,
+                     'g_opt': g_opt, 'd_opt': d_opt}
+        if spec.ema_beta > 0:
+            beta = jnp.float32(spec.ema_beta)
+            new_state['g_ema'] = jax.tree.map(
+                lambda e, p: beta * e + (1.0 - beta) * p,
+                state['g_ema'], g_params)
+        stats = jnp.stack([sr, sf, d_loss_val, g_loss_val, gp, g_sim]) * B
+        return new_state, stats
+
+    def epoch_body(carry, epoch):
+        state, key, images_stack = carry
+        k_epoch = jax.random.fold_in(key, epoch)
+        lr = _traced_lr(spec, epoch)
+        if spec.fading:
+            alpha = jnp.clip((epoch - spec.alpha_start) * spec.alpha_step,
+                             0.0, 1.0).astype(jnp.float32)
+        else:
+            alpha = jnp.float32(1.0)
+        if spec.sim_lambda0 > 0 and spec.sim_decay > 0:
+            lam = spec.sim_lambda0 * jnp.power(1.0 - spec.sim_decay,
+                                               (epoch - 1).astype(jnp.float32))
+            lam = jnp.where(lam > 1e-5, lam, 0.0)
+        else:
+            lam = jnp.float32(spec.sim_lambda0)
+
+        if spec.shuffle:
+            perm = jax.random.permutation(jax.random.fold_in(k_epoch, 7),
+                                          spec.n_images)
+        else:
+            perm = jnp.arange(spec.n_images)
+        shuffled = jnp.take(images_stack, perm, axis=0)
+        batches = shuffled.reshape(spec.n_batches, spec.batch_size,
+                                   *images_stack.shape[1:])
+        batch_keys = jax.random.split(jax.random.fold_in(k_epoch, 11),
+                                      spec.n_batches)
+
+        state, stats = jax.lax.scan(
+            lambda s, inp: batch_body(s, inp, alpha, lr, lam),
+            state, (batches, batch_keys))
+        epoch_stats = jnp.sum(stats, axis=0) / spec.n_images
+        return (state, key, images_stack), epoch_stats
+
+    def run(state, images_stack, key, first_epoch):
+        epochs = first_epoch + jnp.arange(n_epochs)
+        (state, _, _), stats = jax.lax.scan(
+            epoch_body, (state, key, images_stack), epochs)
+        return state, stats
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(run, donate_argnums=donate_argnums)
+
+
+STAT_NAMES = ('score_real', 'score_fake', 'D_loss', 'G_loss', 'D_grad_pen',
+              'G_sim_loss')

@@ -1,0 +1,147 @@
+"""Round-trip tests: native .npz checkpoints and reference .pth import.
+
+The .pth tests build a checkpoint with the reference's exact key layout
+(export_* is the inverse of the import mapping), save it with torch.save
+(the real producer format), then read it back with the torch-free reader.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from neuron_gan_tpu.models import (
+    PGConfig, GrowthState, init_generator_pg, init_discriminator_pg,
+    generator_pg, discriminator_pg,
+)
+from neuron_gan_tpu.checkpoint import (
+    Checkpointer, save_pytree_npz, load_pytree_npz,
+    export_generator_state, export_discriminator_state, make_reference_attrs,
+    import_reference_checkpoint,
+)
+from neuron_gan_tpu.pth import load_pth
+
+
+CFG = PGConfig(n_gen_features=(32, 16, 8), n_dis_features=(8, 16, 32),
+               latent_dim=24, image_size_init=4, precision='highest')
+
+
+def make_params():
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g = jax.tree.map(np.asarray, init_generator_pg(kg, CFG))
+    d = jax.tree.map(np.asarray, init_discriminator_pg(kd, CFG))
+    return g, d
+
+
+def test_npz_pytree_roundtrip(tmp_path):
+    tree = {'a': np.arange(6).reshape(2, 3).astype(np.float32),
+            'b': [np.ones(4), {'c': np.zeros((2, 2))}],
+            'd': (np.float32(3.5),)}
+    path = str(tmp_path / 'ckpt.npz')
+    save_pytree_npz(path, tree, meta={'epoch': 7})
+    got, meta = load_pytree_npz(path)
+    assert meta['epoch'] == 7
+    np.testing.assert_array_equal(got['a'], tree['a'])
+    np.testing.assert_array_equal(got['b'][1]['c'], tree['b'][1]['c'])
+    assert isinstance(got['d'], tuple)
+
+
+def test_checkpointer_rolling_and_series(tmp_path):
+    ck = Checkpointer(str(tmp_path / 'GenDisc_test.npz'), n_epochs=50,
+                      verbose=False, extra_checkpoint_period=10)
+    ck.loss_real[:20] = np.arange(20)
+    tree = {'w': np.ones(3)}
+    ck.save_state(20, tree, meta={'lr': 1e-4})
+    assert (tmp_path / 'GenDisc_test.npz').exists()
+    assert (tmp_path / 'GenDisc_test_0k.npz').exists()  # 20 % 10 == 0
+
+    ck2 = Checkpointer(str(tmp_path / 'GenDisc_test.npz'), n_epochs=50,
+                       verbose=False)
+    tree2, meta = ck2.load_state()
+    assert ck2.epoch == 20
+    np.testing.assert_array_equal(ck2.loss_real[:20], np.arange(20))
+    np.testing.assert_array_equal(tree2['w'], np.ones(3))
+
+
+def _save_reference_pth(path, g, d, growth):
+    """Write a checkpoint in the reference's exact format via torch.save."""
+    def to_torch(state):
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}
+
+    g_attrs = make_reference_attrs(CFG, growth, latent=True)
+    d_attrs = make_reference_attrs(CFG, growth, latent=False)
+    g_attrs['alpha'] = torch.tensor(float(g_attrs['alpha']))
+    d_attrs['alpha'] = torch.tensor(float(d_attrs['alpha']))
+    ckpt = {
+        'epoch': 42,
+        'Generator_state': to_torch(export_generator_state(g, CFG, growth)),
+        'Generator_attrs': g_attrs,
+        'Discriminator_state': to_torch(export_discriminator_state(d, CFG, growth)),
+        'Discriminator_attrs': d_attrs,
+        'lr': 1e-4,
+        'Loss_real': np.arange(42, dtype=np.float64),
+        'Loss_fake': np.zeros(42),
+        'Loss_G': np.zeros(42),
+        'Loss_D': np.zeros(42),
+    }
+    torch.save(ckpt, path)
+
+
+@pytest.mark.parametrize('phase,alpha', [(0, 1.0), (1, 0.5), (2, 1.0)])
+def test_pth_import_roundtrip(tmp_path, phase, alpha):
+    g, d = make_params()
+    growth = GrowthState(CFG)
+    growth.set_resolution(CFG.resolution(phase), alpha)
+    path = str(tmp_path / 'GenDisc_ref.pth')
+    _save_reference_pth(path, g, d, growth)
+
+    g2, d2, cfg2, growth2, meta = import_reference_checkpoint(path)
+    assert cfg2.n_gen_features == CFG.n_gen_features
+    assert growth2.phase == phase
+    assert growth2.fading == (alpha < 1.0)
+    assert meta['epoch'] == 42
+    np.testing.assert_array_equal(np.asarray(meta['Loss_real']), np.arange(42))
+
+    # Functional equivalence: imported params produce identical outputs at the
+    # checkpointed phase (unreachable to_rgb/from_rgb heads are zero-filled).
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (2, CFG.latent_dim)),
+                   dtype=np.float32)
+    a = None if alpha >= 1.0 else alpha
+    out1 = np.asarray(generator_pg(g, jnp.asarray(z), CFG, phase, a))
+    out2 = np.asarray(generator_pg(g2, jnp.asarray(z), cfg2, phase, a))
+    np.testing.assert_allclose(out1, out2, rtol=1e-6, atol=1e-7)
+
+    res = CFG.resolution(phase)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (2, res, res, 1)),
+                   dtype=np.float32)
+    s1 = np.asarray(discriminator_pg(d, jnp.asarray(x), CFG, phase, a))
+    s2 = np.asarray(discriminator_pg(d2, jnp.asarray(x), cfg2, phase, a))
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+
+
+def test_pth_reader_blocks_arbitrary_globals(tmp_path):
+    import os
+    path = str(tmp_path / 'evil.pth')
+    torch.save({'cmd': os.getcwd}, path)  # a callable global
+    with pytest.raises(Exception, match='blocked|whitelist|unsupported'):
+        load_pth(path)
+
+
+def test_pth_reader_plain_tensors(tmp_path):
+    path = str(tmp_path / 'tensors.pth')
+    w = torch.randn(3, 4)
+    torch.save({'w': w, 'n': 5, 's': 'hello', 'scalar': torch.tensor(2.5)}, path)
+    got = load_pth(path)
+    np.testing.assert_allclose(got['w'], w.numpy(), rtol=0, atol=0)
+    assert got['n'] == 5 and got['s'] == 'hello'
+    assert float(np.asarray(got['scalar'])) == 2.5
+
+
+def test_pth_reader_noncontiguous_tensor(tmp_path):
+    path = str(tmp_path / 'strided.pth')
+    w = torch.randn(6, 8).t()  # transposed view: non-default strides
+    torch.save({'w': w}, path)
+    got = load_pth(path)
+    np.testing.assert_allclose(got['w'], w.numpy(), rtol=0, atol=0)

@@ -1,0 +1,135 @@
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from neuron_gan_tpu.data import NeuronDataset, threshold_multiotsu
+from neuron_gan_tpu.data.augment import (
+    AugmentSpec, augment_batch, _affine_warp_nearest,
+)
+from neuron_gan_tpu.ops.resize import resize_antialias
+
+
+# ---------------------------------------------------------------- multi-Otsu
+
+def test_multiotsu_separates_four_modes():
+    rng = np.random.default_rng(0)
+    img = np.concatenate([
+        rng.normal(30, 3, 4000), rng.normal(90, 3, 4000),
+        rng.normal(160, 3, 4000), rng.normal(220, 3, 4000),
+    ]).clip(0, 255).astype(np.uint8).reshape(40, -1)
+    th = threshold_multiotsu(img, classes=4)
+    assert len(th) == 3
+    assert 30 < th[0] < 90 and 90 < th[1] < 160 and 160 < th[2] < 220
+
+
+def test_multiotsu_binary_case():
+    rng = np.random.default_rng(1)
+    img = np.concatenate([rng.normal(40, 8, 2000), rng.normal(200, 8, 2000)])
+    img = img.clip(0, 255).astype(np.uint8).reshape(40, 100)
+    th = threshold_multiotsu(img, classes=2)
+    assert 40 < th[0] < 200
+
+
+def test_multiotsu_constant_image():
+    img = np.full((8, 8), 7, np.uint8)
+    th = threshold_multiotsu(img, classes=4)
+    assert np.all(th == 7)
+
+
+# ---------------------------------------------------------------- dataset
+
+@pytest.fixture(scope='module')
+def tiny_dataset_dir(tmp_path_factory):
+    """4 synthetic 32x32 uint8 'neuron' images: dark noisy bg, bright blobs."""
+    from PIL import Image
+    d = tmp_path_factory.mktemp('science_tiny')
+    rng = np.random.default_rng(42)
+    for i in range(4):
+        img = rng.normal(20, 5, (32, 32)).clip(0, 255)
+        img[8 + i:20 + i, 10:22] = rng.normal(180, 20, (12, 12)).clip(0, 255)
+        img[0:4, 0:4] = 0  # guaranteed zero pixels to noise-fill
+        Image.fromarray(img.astype(np.uint8), mode='L').save(d / f'im{i}.png')
+    return str(d)
+
+
+def test_dataset_load(tiny_dataset_dir):
+    ds = NeuronDataset(tiny_dataset_dir, image_size=32)
+    assert len(ds) == 4
+    # padded by image_size//4 = 8 per side
+    assert ds.images.shape == (4, 48, 48, 1)
+    assert ds.images.dtype == np.float32
+    assert 0.0 <= ds.images.min() and ds.images.max() <= 1.0
+    # zero pixels replaced with noise: no exact zeros in interior corner
+    assert (ds.images[0, 8:12, 8:12, 0] != 0).any()
+    assert ds.images_noise_mean.shape == (4,)
+    ds.set_image_size(16)
+    assert ds.image_size == 16
+    with pytest.raises(AssertionError):
+        ds.set_image_size(64)
+
+
+# ---------------------------------------------------------------- warp parity
+
+@pytest.mark.parametrize('angle,tx,ty', [(0.0, 0.0, 0.0), (30.0, 2.0, -1.0),
+                                         (137.0, -3.0, 4.0), (-90.0, 0.0, 0.0)])
+def test_affine_warp_matches_torch_grid_sample(angle, tx, ty):
+    rng = np.random.default_rng(1)
+    p = 17
+    img = rng.random((p, p, 1)).astype(np.float32)
+    got = np.asarray(_affine_warp_nearest(jnp.asarray(img), angle, tx, ty,
+                                          jnp.asarray(False)))
+
+    # Build the same inverse mapping in pixel space, normalize for
+    # grid_sample(align_corners=False), compare nearest+zeros semantics.
+    c = (p - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(p), np.arange(p), indexing='ij')
+    rad = np.deg2rad(angle)
+    ux, uy = xs - c - tx, ys - c - ty
+    qx = np.cos(rad) * ux + np.sin(rad) * uy + c
+    qy = -np.sin(rad) * ux + np.cos(rad) * uy + c
+    gx = (2 * qx + 1) / p - 1
+    gy = (2 * qy + 1) / p - 1
+    grid = torch.from_numpy(np.stack([gx, gy], -1)[None].astype(np.float32))
+    inp = torch.from_numpy(img[None].transpose(0, 3, 1, 2))
+    want = F.grid_sample(inp, grid, mode='nearest', padding_mode='zeros',
+                         align_corners=False)[0].permute(1, 2, 0).numpy()
+    # knife-edge half-pixel ties can resolve differently between the two
+    # float pipelines; allow <=1% of pixels to differ
+    mismatch = (got != want).mean()
+    assert mismatch <= 0.01, f'{mismatch:.3%} pixels differ'
+
+
+def test_affine_flip_only():
+    img = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    got = np.asarray(_affine_warp_nearest(jnp.asarray(img), 0.0, 0.0, 0.0,
+                                          jnp.asarray(True)))
+    np.testing.assert_array_equal(got, img[::-1])
+
+
+# ---------------------------------------------------------------- augment
+
+def test_augment_batch_no_augment_is_crop_renorm_resize():
+    rng = np.random.default_rng(2)
+    x = rng.random((3, 24, 24, 1)).astype(np.float32)
+    spec = AugmentSpec(crop_size=16, out_size=8, translation=0.0, augment=False)
+    got = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(0), spec))
+    crop = x[:, 4:20, 4:20, :] * 2.0 - 1.0
+    want = np.asarray(resize_antialias(jnp.asarray(crop), 8))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_augment_batch_shapes_range_and_determinism():
+    rng = np.random.default_rng(3)
+    x = rng.random((4, 24, 24, 1)).astype(np.float32)
+    spec = AugmentSpec(crop_size=16, out_size=16, translation=0.05, augment=True)
+    a = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(1), spec))
+    b = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(1), spec))
+    c = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(2), spec))
+    assert a.shape == (4, 16, 16, 1)
+    assert a.min() >= -1.0 - 1e-6 and a.max() <= 1.0 + 1e-6
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)  # different key -> different augmentation

@@ -1,0 +1,162 @@
+"""End-to-end CLI tests: train.py (fresh + resume across a growth phase),
+eval.py on both checkpoint formats, and the driver entry points."""
+
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+
+def _write_config(path, dataset_dir, out_root, extra=''):
+    path.write_text(f"""
+import os
+ID = 'e2e1'
+data_dir = r'{out_root}/data'
+images_dir = r'{out_root}/images'
+weights_dir = r'{out_root}/weights'
+plots_dir = r'{out_root}/plots'
+dataset_dir = r'{dataset_dir}'
+samples_sub_dir = os.path.join(images_dir, ID)
+pggan = True
+grad_pen_lambda = 10
+transit_sch = [5, 10]
+alpha_step = 0.25
+learning_rate = 1e-3
+batch_size = 2
+N_epochs = 12
+beta1 = 0.5
+drift_epsilon = 0.001
+n_critic = 1
+seed = 1
+checkpointing_period = 6
+translation = 0.05
+latent_dim = 8
+image_size = 16
+N_colors = 1
+N_gen_features = [16, 8, 8]
+N_dis_features = [8, 8, 16]
+resume = False
+{extra}
+""")
+
+
+def _run_cli(monkeypatch, script, argv):
+    monkeypatch.setattr(sys, 'argv', [script] + argv)
+    # fresh config module so each CLI run starts from defaults
+    for mod in list(sys.modules):
+        if mod.startswith('neuron_gan_tpu.configs'):
+            del sys.modules[mod]
+    runpy.run_path(script, run_name='__main__')
+
+
+@pytest.mark.slow
+def test_train_eval_cli_roundtrip(tmp_path, monkeypatch, tiny_dataset_dir):
+    out_root = tmp_path / 'run'
+    out_root.mkdir()
+    cfg1 = tmp_path / 'cfg_session.py'
+    _write_config(cfg1, tiny_dataset_dir, out_root, extra='N_epochs_session = 6')
+
+    # --- session 1: epochs 1-6 (phase 0, checkpoint at 6)
+    _run_cli(monkeypatch, 'train.py', ['--configs', str(cfg1)])
+    weights = out_root / 'weights' / 'GenDisc_e2e1.npz'
+    assert weights.exists()
+    assert (out_root / 'images' / 'e2e1' / 'Samples_e2e1_6.png').exists()
+    assert (out_root / 'plots' / 'Training_summary_e2e1.png').exists()
+
+    from neuron_gan_tpu.checkpoint import load_pytree_npz
+    _, meta = load_pytree_npz(str(weights))
+    assert meta['epoch'] == 6
+    assert meta['image_size'] == 8  # transition at 5 grew 4 -> 8
+    assert meta['alpha'] == pytest.approx(0.25)  # epoch 6 = (6-5)*0.25
+
+    # --- session 2: resume through growth to epoch 12 (phase 2 at 10)
+    cfg2 = tmp_path / 'cfg_resume.py'
+    _write_config(cfg2, tiny_dataset_dir, out_root, extra='resume = True')
+    _run_cli(monkeypatch, 'train.py', ['--configs', str(cfg2)])
+    _, meta = load_pytree_npz(str(weights))
+    assert meta['epoch'] == 12
+    assert meta['image_size'] == 16
+    assert meta['alpha'] == pytest.approx(0.5)  # epoch 12 = (12-10)*0.25
+
+    # loss series survived the round trip and is fully populated
+    payload, _ = load_pytree_npz(str(weights))
+    assert len(payload['series']['Loss_real']) == 12
+    assert np.isfinite(payload['series']['Loss_real']).all()
+
+    # --- eval CLI on the native checkpoint (absolute paths: eval.py resolves
+    # relative names against the default config dirs, like the reference)
+    _run_cli(monkeypatch, 'eval.py',
+             ['-n', '4', '-weights', str(weights),
+              '-output', str(out_root / 'images' / 'eval_grid.png')])
+    assert (out_root / 'images' / 'eval_grid.png').exists()
+
+
+@pytest.mark.slow
+def test_eval_cli_reference_pth(tmp_path, monkeypatch):
+    """eval.py consumes a reference-format .pth (BASELINE config 1 analog)."""
+    import torch
+    import jax
+    from neuron_gan_tpu.models import (PGConfig, GrowthState,
+                                       init_generator_pg, init_discriminator_pg)
+    from neuron_gan_tpu.checkpoint import (
+        export_generator_state, export_discriminator_state, make_reference_attrs)
+
+    cfg = PGConfig(n_gen_features=(16, 8, 8), n_dis_features=(8, 8, 16),
+                   latent_dim=8, image_size_init=4)
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g = jax.tree.map(np.asarray, init_generator_pg(kg, cfg))
+    d = jax.tree.map(np.asarray, init_discriminator_pg(kd, cfg))
+    growth = GrowthState(cfg)
+    growth.set_resolution(16)
+
+    out_root = tmp_path / 'evalrun'
+    (out_root / 'weights').mkdir(parents=True)
+    (out_root / 'images').mkdir()
+
+    def to_torch(state):
+        return {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state.items()}
+
+    ckpt = {
+        'epoch': 1,
+        'Generator_state': to_torch(export_generator_state(g, cfg, growth)),
+        'Generator_attrs': make_reference_attrs(cfg, growth, latent=True),
+        'Discriminator_state': to_torch(export_discriminator_state(d, cfg, growth)),
+        'Discriminator_attrs': make_reference_attrs(cfg, growth, latent=False),
+        'lr': 1e-4,
+    }
+    torch.save(ckpt, str(out_root / 'weights' / 'gen_ref.pth'))
+
+    # point the config at tmp dirs via env-free monkeypatching of the module
+    for mod in list(sys.modules):
+        if mod.startswith('neuron_gan_tpu.configs'):
+            del sys.modules[mod]
+    from neuron_gan_tpu.configs import config
+    config.weights_dir = str(out_root / 'weights')
+    config.images_dir = str(out_root / 'images')
+
+    monkeypatch.setattr(sys, 'argv', ['eval.py', '-n', '4',
+                                      '-weights', 'gen_ref.pth',
+                                      '-output', 'ref_grid.png'])
+    runpy.run_path('eval.py', run_name='__main__')
+    out = out_root / 'images' / 'ref_grid.png'
+    assert out.exists()
+    from PIL import Image
+    with Image.open(out) as im:
+        assert im.size[0] >= 16 * 2  # 2x2 grid at 16px + padding
+
+
+def test_graft_entry_single_chip():
+    import jax
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 512, 512, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

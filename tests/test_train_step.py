@@ -1,0 +1,152 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuron_gan_tpu.models import PGConfig, init_generator_pg, init_discriminator_pg
+from neuron_gan_tpu.train_step import (
+    ChunkSpec, make_epoch_runner, make_optimizer, init_train_state,
+    make_lr_schedule, alpha_at, sim_lambda_at, STAT_NAMES,
+)
+
+
+CFG = PGConfig(n_gen_features=(16, 8, 8), n_dis_features=(8, 8, 16),
+               latent_dim=12, image_size_init=4)
+
+
+def make_state(beta1=0.5, rmsprop=False):
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g = init_generator_pg(kg, CFG)
+    d = init_discriminator_pg(kd, CFG)
+    opt = make_optimizer(beta1, rmsprop)
+    return init_train_state(g, d, opt)
+
+
+def make_spec(**kw):
+    base = dict(phase=0, fading=False, n_critic=1, batch_size=2, n_images=4,
+                shuffle=True, crop_size=16, translation=0.05, augment=True,
+                gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
+                sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-3,
+                lr_gamma=0.99, lr_boundary=0, lr_cap=50, alpha_start=0,
+                alpha_step=0.25, latent_dim=CFG.latent_dim)
+    base.update(kw)
+    return ChunkSpec(**base)
+
+
+@pytest.fixture(scope='module')
+def images_stack():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.random((4, 24, 24, 1)).astype(np.float32))
+
+
+def test_epoch_runner_runs_and_learns(images_stack):
+    state = make_state()
+    run = make_epoch_runner(CFG, make_spec(), n_epochs=2, donate=False)
+    new_state, stats = run(state, images_stack, jax.random.PRNGKey(1), 1)
+    stats = np.asarray(stats)
+    assert stats.shape == (2, len(STAT_NAMES))
+    assert np.isfinite(stats).all()
+    # both nets actually updated
+    w0 = np.asarray(state['g_params']['stem']['conv']['w'])
+    w1 = np.asarray(new_state['g_params']['stem']['conv']['w'])
+    assert not np.allclose(w0, w1)
+    d0 = np.asarray(state['d_params']['head']['conv']['w'])
+    d1 = np.asarray(new_state['d_params']['head']['conv']['w'])
+    assert not np.allclose(d0, d1)
+
+
+def test_epoch_runner_fading_phase(images_stack):
+    state = make_state()
+    spec = make_spec(phase=1, fading=True, alpha_start=1, alpha_step=0.25)
+    run = make_epoch_runner(CFG, spec, n_epochs=2, donate=False)
+    new_state, stats = run(state, images_stack, jax.random.PRNGKey(2), 1)
+    assert np.isfinite(np.asarray(stats)).all()
+
+
+def test_epoch_runner_n_critic_zero_keeps_d_frozen(images_stack):
+    state = make_state()
+    run = make_epoch_runner(CFG, make_spec(n_critic=0), n_epochs=1, donate=False)
+    new_state, stats = run(state, images_stack, jax.random.PRNGKey(3), 1)
+    d0 = jax.tree.leaves(state['d_params'])
+    d1 = jax.tree.leaves(new_state['d_params'])
+    for a, b in zip(d0, d1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # stats still computed for monitoring
+    assert np.isfinite(np.asarray(stats)).all()
+
+
+def test_gp_lambda_zero_skips_penalty(images_stack):
+    state = make_state()
+    run = make_epoch_runner(CFG, make_spec(gp_lambda=0.0), n_epochs=1,
+                            donate=False)
+    _, stats = run(state, images_stack, jax.random.PRNGKey(4), 1)
+    assert np.asarray(stats)[0, STAT_NAMES.index('D_grad_pen')] == 0.0
+
+
+def test_lr_schedule_matches_reference_semantics():
+    # schedule: transitions at 100, 200; N=300; per-phase halves = 50
+    lr_at = make_lr_schedule(1e-4, [100, 200], 300)
+    assert lr_at(1) == 1e-4                      # boundary reset
+    g = np.exp(np.log(1 / 100) / 50)
+    assert lr_at(2) == pytest.approx(1e-4 * g)   # first decay step
+    assert lr_at(51) == pytest.approx(1e-4 * g ** 50)
+    assert lr_at(52) == pytest.approx(1e-4 * g ** 50)   # flat second half
+    assert lr_at(100) == pytest.approx(1e-4 * g ** 50)
+    assert lr_at(101) == 1e-4                    # reset at transition
+    assert lr_at(102) == pytest.approx(1e-4 * g)
+
+
+def test_alpha_schedule():
+    sch = [100, 200]
+    assert alpha_at(50, sch, 0.01) == 1.0
+    assert alpha_at(100, sch, 0.01) == 0.0       # transition starts
+    assert alpha_at(150, sch, 0.01) == pytest.approx(0.5)
+    assert alpha_at(199, sch, 0.01) == pytest.approx(0.99)
+    assert alpha_at(200, sch, 0.01) == 0.0       # next transition
+    assert alpha_at(350, sch, 0.01) == 1.0
+
+
+def test_sim_lambda_schedule():
+    assert sim_lambda_at(10, 0.0, 0.1) == 0.0
+    assert sim_lambda_at(1, 0.5, 0.0) == 0.5
+    assert sim_lambda_at(2, 0.5, 0.1) == pytest.approx(0.45)
+    assert sim_lambda_at(500, 0.5, 0.1) == 0.0   # decayed below 1e-5
+
+
+def test_rmsprop_matches_torch():
+    import torch
+    w = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.1, 0.2, -0.3], np.float32)
+    opt = make_optimizer(rmsprop=True)
+    st = opt.init(jnp.asarray(w))
+    upd, st = opt.update(jnp.asarray(g), st, jnp.asarray(w))
+    new_w = np.asarray(jnp.asarray(w) - 0.01 * upd)
+
+    wt = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    topt = torch.optim.RMSprop([wt], lr=0.01)
+    wt.grad = torch.from_numpy(g.copy())
+    topt.step()
+    np.testing.assert_allclose(new_w, wt.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
+def test_adam_matches_torch_two_steps():
+    import torch
+    w = np.array([1.0, -2.0, 3.0], np.float32)
+    grads = [np.array([0.1, 0.2, -0.3], np.float32),
+             np.array([-0.05, 0.4, 0.1], np.float32)]
+    opt = make_optimizer(beta1=0.5)
+    jw = jnp.asarray(w)
+    st = opt.init(jw)
+    for g in grads:
+        upd, st = opt.update(jnp.asarray(g), st, jw)
+        jw = jw - 1e-3 * upd
+
+    wt = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    topt = torch.optim.Adam([wt], lr=1e-3, betas=(0.5, 0.999))
+    for g in grads:
+        topt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        topt.step()
+    np.testing.assert_allclose(np.asarray(jw), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
