@@ -26,3 +26,14 @@ def pixel_norm(x, eps=1e-8):
 
 def lrelu_pixel_norm(x, neg_slope=0.2, eps=1e-8):
     return pixel_norm(leaky_relu(x, neg_slope), eps)
+
+
+def init_cubic_activation():
+    """Learnable cubic activation params (reference utils.py:32-49; unused by
+    the reference's training paths, kept for capability parity)."""
+    return {'a': jnp.ones(()), 'b': jnp.ones(()), 'c': jnp.ones(())}
+
+
+def cubic_activation(x, params):
+    """f(x) = a*x^3 + b*x^2 + c*x with learnable a, b, c."""
+    return params['a'] * x ** 3 + params['b'] * x ** 2 + params['c'] * x

