@@ -432,6 +432,46 @@ def make_reference_attrs(cfg: PGConfig, growth: GrowthState, latent=True):
     return attrs
 
 
+def save_reference_checkpoint(path, g_params, d_params, cfg: PGConfig,
+                              growth: GrowthState, epoch=0, lr=1e-4,
+                              series=None):
+    """Write a checkpoint in the reference's torch ``.pth`` format so weights
+    trained here can be loaded by the reference's train.py/eval.py.
+
+    Requires torch (the one consumer of this format); raises otherwise.
+    """
+    try:
+        import torch
+    except ImportError as exc:
+        raise RuntimeError(
+            'save_reference_checkpoint requires torch to serialize the '
+            'reference .pth format') from exc
+
+    def to_torch(state):
+        return {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+                for k, v in state.items()}
+
+    g_attrs = make_reference_attrs(cfg, growth, latent=True)
+    d_attrs = make_reference_attrs(cfg, growth, latent=False)
+    g_attrs['alpha'] = torch.tensor(float(g_attrs['alpha']))
+    d_attrs['alpha'] = torch.tensor(float(d_attrs['alpha']))
+    series = series or {}
+    ckpt = {
+        'epoch': int(epoch),
+        'Generator_state': to_torch(export_generator_state(g_params, cfg, growth)),
+        'Generator_attrs': g_attrs,
+        'Discriminator_state': to_torch(export_discriminator_state(d_params, cfg, growth)),
+        'Discriminator_attrs': d_attrs,
+        'lr': float(lr),
+        'Loss_real': np.asarray(series.get('Loss_real', np.zeros(0))),
+        'Loss_fake': np.asarray(series.get('Loss_fake', np.zeros(0))),
+        'Loss_G': np.asarray(series.get('Loss_G', np.zeros(0))),
+        'Loss_D': np.asarray(series.get('Loss_D', np.zeros(0))),
+    }
+    torch.save(ckpt, path)
+    return path
+
+
 def import_reference_checkpoint(path):
     """Load a reference ``.pth`` and return (g_params, d_params, cfg, growth,
     meta) where meta carries epoch/lr/loss series when present."""

@@ -139,6 +139,9 @@ class _Unpickler(pickle.Unpickler):
             # used by numpy's __reduce__ to carry raw bytes
             import _codecs
             return _codecs.encode
+        if module in ('builtins', '__builtin__') and name in ('bytes', 'bytearray'):
+            import builtins
+            return getattr(builtins, name)
         raise pickle.UnpicklingError(
             f'blocked unpickle of {module}.{name} (whitelist)')
 

@@ -139,6 +139,29 @@ def test_pth_reader_plain_tensors(tmp_path):
     assert float(np.asarray(got['scalar'])) == 2.5
 
 
+def test_save_reference_checkpoint_roundtrip(tmp_path):
+    """Our .pth writer produces files our importer (and torch) can read."""
+    from neuron_gan_tpu.checkpoint import save_reference_checkpoint
+    g, d = make_params()
+    growth = GrowthState(CFG)
+    growth.set_resolution(8, 0.5)
+    path = str(tmp_path / 'exported.pth')
+    save_reference_checkpoint(path, g, d, CFG, growth, epoch=7, lr=2e-4,
+                              series={'Loss_real': np.arange(7.0)})
+    g2, d2, cfg2, growth2, meta = import_reference_checkpoint(path)
+    assert meta['epoch'] == 7 and meta['lr'] == pytest.approx(2e-4)
+    assert growth2.phase == 1 and growth2.alpha == pytest.approx(0.5)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (2, CFG.latent_dim)),
+                   dtype=np.float32)
+    out1 = np.asarray(generator_pg(g, jnp.asarray(z), CFG, 1, 0.5))
+    out2 = np.asarray(generator_pg(g2, jnp.asarray(z), cfg2, 1, 0.5))
+    np.testing.assert_allclose(out1, out2, rtol=1e-6, atol=1e-7)
+    # and torch itself can open it
+    import torch
+    loaded = torch.load(path, map_location='cpu', weights_only=False)
+    assert 'Generator_state' in loaded and 'layers.0.weight' in loaded['Generator_state']
+
+
 def test_pth_reader_noncontiguous_tensor(tmp_path):
     path = str(tmp_path / 'strided.pth')
     w = torch.randn(6, 8).t()  # transposed view: non-default strides
