@@ -31,12 +31,16 @@ import jax.numpy as jnp
 
 def d_w_loss(d_apply, g_apply, d_params, g_params, real_images, z,
              drift_epsilon=0.0):
-    """Critic Wasserstein loss. Returns (loss, (score_real, score_fake))."""
-    real_scores = d_apply(d_params, real_images)
+    """Critic Wasserstein loss. Returns (loss, (score_real, score_fake)).
+
+    Score reductions run in float32 regardless of the model compute dtype so
+    the bfloat16 fast path keeps full-precision loss statistics.
+    """
+    real_scores = d_apply(d_params, real_images).astype(jnp.float32)
     score_real = jnp.mean(real_scores)
 
     fake_images = jax.lax.stop_gradient(g_apply(g_params, z))
-    score_fake = jnp.mean(d_apply(d_params, fake_images))
+    score_fake = jnp.mean(d_apply(d_params, fake_images).astype(jnp.float32))
 
     loss = -score_real + score_fake
     if drift_epsilon > 0:
@@ -47,7 +51,7 @@ def d_w_loss(d_apply, g_apply, d_params, g_params, real_images, z,
 def g_w_loss(g_apply, d_apply, g_params, d_params, z):
     """Generator Wasserstein loss. Returns (loss, z)."""
     fake_images = g_apply(g_params, z)
-    loss = -jnp.mean(d_apply(d_params, fake_images))
+    loss = -jnp.mean(d_apply(d_params, fake_images).astype(jnp.float32))
     return loss, z
 
 
@@ -65,7 +69,8 @@ def d_grad_pen_loss(d_apply, d_params, real_images, fake_images, epsilon,
     x_hat = eps * real_images + (1.0 - eps) * fake_images
 
     grad = jax.grad(lambda xh: jnp.sum(d_apply(d_params, xh)))(x_hat)
-    norms = jnp.sqrt(jnp.sum(jnp.square(grad), axis=(1, 2, 3)) + 0.0)
+    grad = grad.astype(jnp.float32)  # f32 accumulation for the norm reduction
+    norms = jnp.sqrt(jnp.sum(jnp.square(grad), axis=(1, 2, 3)))
     return gp_lambda * jnp.mean(jnp.square(norms - 1.0))
 
 

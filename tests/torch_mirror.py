@@ -18,11 +18,14 @@ GAIN = torch.nn.init.calculate_gain('leaky_relu', 0.2)
 
 
 def t(x):
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.from_numpy(np.asarray(x))
 
 
 def w_oihw(w_hwio):
-    return t(w_hwio).permute(3, 2, 0, 1).contiguous()
+    out = t(w_hwio).permute(3, 2, 0, 1)
+    return out if out.requires_grad else out.contiguous()
 
 
 def eq_conv(x, p, padding):
