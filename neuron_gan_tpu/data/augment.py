@@ -1,0 +1,128 @@
+"""On-device (jitted) data augmentation.
+
+Reproduces the reference's per-item torchvision transform stack
+(data/NeuronDataset.py:113-126 plus the progressive Resize at :152) as one
+pure function of a PRNG key, applied to the HBM-resident image stack:
+
+  1. RandomAffine(degrees=180, translate=(t, t), fill=0) — torchvision tensor
+     path: inverse-matrix warp about the image center with align_corners=False
+     half-pixel convention, NEAREST sampling (torchvision's default
+     interpolation), translations drawn uniform then *rounded to integers*;
+  2. RandomVerticalFlip(p=0.5) — folded into the warp matrix;
+  3. ColorJitter(brightness=0.25, contrast=0.25) — factors U(0.75, 1.25),
+     applied in random order, each blend clamped to [0, 1]; the contrast mean
+     is taken over the full (padded) frame, as in the reference where jitter
+     precedes the CenterCrop;
+  4. CenterCrop(image_size);
+  5. Renormalize (0,1) -> (-1,1)  (data/NeuronDataset.py:24-41);
+  6. Resize(out_size, antialias=True) when out_size < image_size.
+
+Everything is static-shaped; the only trace-time inputs are the image batch
+and the PRNG key, so XLA compiles one fused program per (crop, out) size.
+"""
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from neuron_gan_tpu.ops.resize import resize_antialias
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentSpec:
+    crop_size: int            # CenterCrop target (= dataset image_size_max)
+    out_size: int             # current phase resolution
+    translation: float = 0.0  # RandomAffine translate fraction
+    augment: bool = True      # False = crop+renorm+resize only
+    degrees: float = 180.0
+
+
+def _affine_warp_nearest(img, angle_deg, tx, ty, flip):
+    """Warp one (P, P, C) image: out[p] = img[R(-a)·(p_c - t) + c], zero fill.
+
+    Matches torchvision F.affine on tensors (inverse matrix about the image
+    center, grid_sample nearest, align_corners=False) with vertical flip
+    composed into the output row index.
+    """
+    p = img.shape[0]
+    c_half = (p - 1) / 2.0
+    ys = jnp.arange(p, dtype=jnp.float32)
+    xs = jnp.arange(p, dtype=jnp.float32)
+    # vertical flip flips output rows
+    ys_eff = jnp.where(flip, (p - 1) - ys, ys)
+    uy = ys_eff - c_half          # centered output coords
+    ux = xs - c_half
+
+    rad = angle_deg * (math.pi / 180.0)
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    # inverse rotation applied to translated coords (torchvision
+    # _get_inverse_affine_matrix with scale=1, shear=0)
+    ux_t = ux - tx
+    uy_t = uy - ty
+    qx = cos * ux_t[None, :] + sin * uy_t[:, None] + c_half
+    qy = -sin * ux_t[None, :] + cos * uy_t[:, None] + c_half
+
+    ix = jnp.round(qx).astype(jnp.int32)
+    iy = jnp.round(qy).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < p) & (iy >= 0) & (iy < p)
+    ixc = jnp.clip(ix, 0, p - 1)
+    iyc = jnp.clip(iy, 0, p - 1)
+    # flattened 1D take compiles to a much cheaper gather than 2D indexing
+    flat = jnp.take(img.reshape(p * p, img.shape[-1]),
+                    (iyc * p + ixc).reshape(-1), axis=0)
+    out = flat.reshape(p, p, img.shape[-1])
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _color_jitter(img, key):
+    """brightness/contrast jitter, random order, clamp [0,1] per blend."""
+    k_order, k_b, k_c = jax.random.split(key, 3)
+    b = jax.random.uniform(k_b, (), minval=0.75, maxval=1.25)
+    c = jax.random.uniform(k_c, (), minval=0.75, maxval=1.25)
+
+    def brightness(x):
+        return jnp.clip(x * b, 0.0, 1.0)
+
+    def contrast(x):
+        mean = jnp.mean(x)
+        return jnp.clip(c * x + (1.0 - c) * mean, 0.0, 1.0)
+
+    first_b = jax.random.bernoulli(k_order)
+    return jax.lax.cond(first_b,
+                        lambda x: contrast(brightness(x)),
+                        lambda x: brightness(contrast(x)), img)
+
+
+def _augment_one(img, key, spec: AugmentSpec):
+    """img: (P, P, C) in [0,1] -> (crop, crop, C) in [-1,1] (pre-resize)."""
+    p = img.shape[0]
+    if spec.augment:
+        k_a, k_t1, k_t2, k_f, k_j = jax.random.split(key, 5)
+        angle = jax.random.uniform(k_a, (), minval=-spec.degrees,
+                                   maxval=spec.degrees)
+        max_t = spec.translation * p
+        # torchvision rounds sampled translations to integer pixels
+        tx = jnp.round(jax.random.uniform(k_t1, (), minval=-max_t, maxval=max_t))
+        ty = jnp.round(jax.random.uniform(k_t2, (), minval=-max_t, maxval=max_t))
+        flip = jax.random.bernoulli(k_f)
+        img = _affine_warp_nearest(img, angle, tx, ty, flip)
+        img = _color_jitter(img, k_j)
+    # CenterCrop (torchvision: top = round((P - S)/2))
+    s = spec.crop_size
+    top = int(round((p - s) / 2.0))
+    img = jax.lax.dynamic_slice(img, (top, top, 0), (s, s, img.shape[-1]))
+    # Renormalize (0,1) -> (-1,1)
+    return img * 2.0 - 1.0
+
+
+@functools.partial(jax.jit, static_argnames=('spec',))
+def augment_batch(images, key, spec: AugmentSpec):
+    """images: (B, P, P, C) in [0,1] -> (B, out, out, C) in [-1,1]."""
+    keys = jax.random.split(key, images.shape[0])
+    out = jax.vmap(lambda im, k: _augment_one(im, k, spec))(images, keys)
+    if spec.out_size < spec.crop_size:
+        out = resize_antialias(out, spec.out_size)
+    return out
