@@ -29,6 +29,8 @@ TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 def bench_tpu(n_epochs_chunk=10):
     import jax
     import jax.numpy as jnp
+    import neuron_gan_tpu
+    neuron_gan_tpu.enable_compilation_cache()
     from neuron_gan_tpu.models import (
         PGConfig, init_generator_pg, init_discriminator_pg)
     from neuron_gan_tpu.train_step import (

@@ -31,6 +31,9 @@ if not os.path.exists(weights_filepath):
 import jax.numpy as jnp
 import jax
 
+import neuron_gan_tpu
+neuron_gan_tpu.enable_compilation_cache()
+
 from neuron_gan_tpu.utils.plotting import plot_gen_samples
 
 if weights_filepath.endswith('.pth'):

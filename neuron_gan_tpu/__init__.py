@@ -20,3 +20,25 @@ TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path=None):
+    """Enable JAX's persistent compilation cache.
+
+    Worth it on this stack: TPU executables compile remotely (minutes for the
+    512x512 train step); the cache makes every subsequent process start warm.
+    Called by the CLIs (train.py/eval.py/bench.py); safe to call repeatedly.
+    """
+    import os
+    import jax
+    if path is None:
+        path = os.environ.get(
+            'NEURON_GAN_TPU_CACHE',
+            os.path.join(os.path.expanduser('~'), '.cache', 'neuron_gan_tpu_xla'))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+    return path

@@ -101,6 +101,9 @@ else:
 import jax
 import jax.numpy as jnp
 
+import neuron_gan_tpu
+neuron_gan_tpu.enable_compilation_cache()
+
 from neuron_gan_tpu.checkpoint import (
     Checkpointer, import_reference_checkpoint, load_pytree_npz)
 from neuron_gan_tpu.data import NeuronDataset
