@@ -78,6 +78,37 @@ def bench_tpu(n_epochs_chunk=10):
     return n_epochs_chunk * batches_per_epoch / dt  # G+D steps/sec
 
 
+def bench_eval(n_images=20, n_iters=20):
+    """Generator inference throughput: images/sec for a 20-image grid at
+    512x512 (BASELINE.md north-star metric #2)."""
+    import jax
+    import jax.numpy as jnp
+    import neuron_gan_tpu
+    neuron_gan_tpu.enable_compilation_cache()
+    from neuron_gan_tpu.models import PGConfig, init_generator_pg, generator_pg
+    from neuron_gan_tpu.utils.latents import sample_latent_vec
+
+    cfg = PGConfig(
+        n_gen_features=(128, 64, 32, 32, 16, 16),
+        n_dis_features=(16, 16, 32, 32, 64, 128),
+        latent_dim=64, image_size_init=16, n_colors=1,
+    )
+    params = init_generator_pg(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def grid(params, key):
+        z = sample_latent_vec(key, (n_images, cfg.latent_dim))
+        return generator_pg(params, z, cfg, cfg.n_phases - 1)
+
+    np.asarray(grid(params, jax.random.PRNGKey(0)))  # compile
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = grid(params, jax.random.PRNGKey(i + 1))
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    return n_images * n_iters / dt
+
+
 def bench_torch_reference(n_steps=2):
     """Equivalent measurement of the torch reference's hot loop on CPU:
     per batch = 1 critic step (D loss + GP double-backward + Adam) + 1 G step,
@@ -181,6 +212,13 @@ if __name__ == '__main__':
     if '--measure-torch' in sys.argv:
         sps = bench_torch_reference()
         print(json.dumps({'torch_ref_steps_per_sec': sps}))
+        sys.exit(0)
+    if '--metric=eval' in sys.argv or '--eval' in sys.argv:
+        ips = bench_eval()
+        print(json.dumps({'metric': 'eval_images_per_sec_512',
+                          'value': round(ips, 2),
+                          'unit': 'images/sec (20-image grids, 512x512)',
+                          'vs_baseline': None}))
         sys.exit(0)
 
     value = bench_tpu()

@@ -15,7 +15,6 @@ reference's module calls (real-batch forward, then fake-batch forward).
 
 import functools
 import os
-import time
 
 import numpy as np
 
@@ -31,8 +30,7 @@ from neuron_gan_tpu.models.legacy import (
 from neuron_gan_tpu.train_step import make_optimizer, _apply_update
 from neuron_gan_tpu.utils.latents import sample_latent_vec
 from neuron_gan_tpu.utils.monitor import calculate_d_steps
-from neuron_gan_tpu.utils.plotting import (
-    plot_gen_samples, plot_scores, save_image_grid)
+from neuron_gan_tpu.utils.plotting import plot_scores, save_image_grid
 
 FILENAME_FORMAT = '{prefix}_{ID}.{ext}'
 

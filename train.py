@@ -113,7 +113,7 @@ from neuron_gan_tpu.models import (
 from neuron_gan_tpu.parallel import make_mesh, shard_params, replicate
 from neuron_gan_tpu.train_step import (
     ChunkSpec, make_epoch_runner, make_optimizer, init_train_state,
-    make_lr_schedule, alpha_at, STAT_NAMES)
+    make_lr_schedule, STAT_NAMES)
 from neuron_gan_tpu.utils import sample_latent_vec, validated_input
 from neuron_gan_tpu.utils.crashdump import save_vars
 from neuron_gan_tpu.utils.monitor import calculate_d_steps
