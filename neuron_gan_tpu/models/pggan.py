@@ -73,11 +73,19 @@ class PGConfig:
     # low-precision passes, which breaks parity with the torch reference);
     # for speed, switch compute_dtype to 'bfloat16' instead of lowering this.
     precision: Optional[str] = 'highest'
+    # Space-to-depth packed execution threshold: convs whose resolution is
+    # >= this run in the 2x2-packed layout (4x channels, 1/4 spatial) with
+    # exactly-transformed kernels — raises MXU lane occupancy on the
+    # narrow-channel high-res layers (see ops/packed.py).  None disables.
+    packed_min_res: Optional[int] = None
 
     def __post_init__(self):
         object.__setattr__(self, 'n_gen_features', tuple(self.n_gen_features))
         object.__setattr__(self, 'n_dis_features', tuple(self.n_dis_features))
         assert len(self.n_gen_features) == len(self.n_dis_features)
+        if self.packed_min_res is not None:
+            assert self.packed_min_res > self.image_size_init, \
+                'packed_min_res must exceed the stem/head resolution'
 
     @property
     def n_layers_max(self) -> int:
@@ -215,6 +223,40 @@ def _gen_stem(params, z, cfg: PGConfig):
     return x
 
 
+def _want_packed(cfg: PGConfig, res: int) -> bool:
+    return cfg.packed_min_res is not None and res >= cfg.packed_min_res
+
+
+def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
+    """Run generator block i; returns (x, packed_out).  Block i's convs run
+    at out_res = resolution(i+1); packed iff out_res >= packed_min_res."""
+    from neuron_gan_tpu.ops import packed as pk
+    out_res = cfg.resolution(i + 1)
+    p = params['blocks'][i]
+    if not _want_packed(cfg, out_res):
+        assert not packed_in  # resolution grows, so packing is monotone
+        return _gen_block(x, p, cfg), False
+    if packed_in:
+        x = pk.packed_upsample2_bilinear(x)
+    else:
+        x = pk.space_to_depth(upsample2_bilinear(x))
+    x = pk.packed_pixel_norm(leaky_relu(
+        pk.packed_equalized_conv3x3(x, p['conv1'], neg_slope=cfg.neg_slope,
+                                    precision=cfg.precision), cfg.neg_slope))
+    x = pk.packed_pixel_norm(leaky_relu(
+        pk.packed_equalized_conv3x3(x, p['conv2'], neg_slope=cfg.neg_slope,
+                                    precision=cfg.precision), cfg.neg_slope))
+    return x, True
+
+
+def _to_rgb_any(x, packed: bool, p, cfg: PGConfig):
+    if not packed:
+        return _to_rgb(x, p, cfg)
+    from neuron_gan_tpu.ops import packed as pk
+    return pk.depth_to_space(jnp.tanh(
+        pk.packed_conv1x1(x, p, precision=cfg.precision)))
+
+
 def generator_pg(params, z, cfg: PGConfig, phase: int, alpha=None):
     """Generator forward. ``phase`` static; ``alpha`` traced or None.
 
@@ -225,16 +267,18 @@ def generator_pg(params, z, cfg: PGConfig, phase: int, alpha=None):
     """
     z = z.astype(cfg.dtype)
     x = _gen_stem(params, z, cfg)
+    packed = False
     if alpha is None:
         for i in range(phase):
-            x = _gen_block(x, params['blocks'][i], cfg)
-        return _to_rgb(x, params['to_rgb'][phase], cfg)
+            x, packed = _gen_block_any(x, packed, i, params, cfg)
+        return _to_rgb_any(x, packed, params['to_rgb'][phase], cfg)
     assert phase >= 1, 'fade-in requires phase >= 1'
     for i in range(phase - 1):
-        x = _gen_block(x, params['blocks'][i], cfg)
-    im_start = upsample2_bilinear(_to_rgb(x, params['to_rgb'][phase - 1], cfg))
-    im_end = _to_rgb(_gen_block(x, params['blocks'][phase - 1], cfg),
-                     params['to_rgb'][phase], cfg)
+        x, packed = _gen_block_any(x, packed, i, params, cfg)
+    im_start = upsample2_bilinear(
+        _to_rgb_any(x, packed, params['to_rgb'][phase - 1], cfg))
+    x2, packed2 = _gen_block_any(x, packed, phase - 1, params, cfg)
+    im_end = _to_rgb_any(x2, packed2, params['to_rgb'][phase], cfg)
     return fade_in(im_start, im_end, alpha)
 
 
@@ -248,6 +292,44 @@ def _dis_head(y, params, cfg: PGConfig):
     return y.reshape(y.shape[0], -1)  # (B, 1): pure-conv critic score
 
 
+def _from_rgb_any(x_img, res: int, p, cfg: PGConfig):
+    """from_rgb at resolution ``res``; returns (y, packed)."""
+    if not _want_packed(cfg, res):
+        return _from_rgb(x_img, p, cfg), False
+    from neuron_gan_tpu.ops import packed as pk
+    return pk.packed_conv1x1(pk.space_to_depth(x_img), p,
+                             precision=cfg.precision), True
+
+
+def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
+                   cfg: PGConfig):
+    """Discriminator block i (pool to entry_res/2, then convs there).
+    Returns (y, packed_out) with packed_out iff entry_res/2 >= threshold."""
+    from neuron_gan_tpu.ops import packed as pk
+    p = params['blocks'][i]
+    half = entry_res // 2
+    if packed_in:
+        y = pk.packed_avg_pool2(y)      # unpacked at entry_res/2
+    else:
+        y = avg_pool(y, 2)
+    if not _want_packed(cfg, half):
+        y = pixel_norm(leaky_relu(
+            equalized_conv2d(y, p['conv1'], padding=1, neg_slope=cfg.neg_slope,
+                             precision=cfg.precision), cfg.neg_slope))
+        y = pixel_norm(leaky_relu(
+            equalized_conv2d(y, p['conv2'], padding=1, neg_slope=cfg.neg_slope,
+                             precision=cfg.precision), cfg.neg_slope))
+        return y, False
+    y = pk.space_to_depth(y)
+    y = pk.packed_pixel_norm(leaky_relu(
+        pk.packed_equalized_conv3x3(y, p['conv1'], neg_slope=cfg.neg_slope,
+                                    precision=cfg.precision), cfg.neg_slope))
+    y = pk.packed_pixel_norm(leaky_relu(
+        pk.packed_equalized_conv3x3(y, p['conv2'], neg_slope=cfg.neg_slope,
+                                    precision=cfg.precision), cfg.neg_slope))
+    return y, True
+
+
 def discriminator_pg(params, x, cfg: PGConfig, phase: int, alpha=None):
     """Discriminator forward; mirrors generator_pg's phase/alpha contract.
 
@@ -257,18 +339,29 @@ def discriminator_pg(params, x, cfg: PGConfig, phase: int, alpha=None):
     """
     x = x.astype(cfg.dtype)
     L = cfg.n_layers_max
+    res = cfg.resolution(phase)
     if alpha is None:
-        y = _from_rgb(x, params['from_rgb'][L - 1 - phase], cfg)
+        y, packed = _from_rgb_any(x, res, params['from_rgb'][L - 1 - phase], cfg)
+        r = res
         for i in range(L - 1 - phase, L - 1):
-            y = _dis_block(y, params['blocks'][i], cfg)
+            y, packed = _dis_block_any(y, packed, i, r, params, cfg)
+            r //= 2
+        assert not packed  # head runs at init res, below the threshold
         return _dis_head(y, params, cfg)
     assert phase >= 1, 'fade-in requires phase >= 1'
-    y_start = _from_rgb(avg_pool(x, 2), params['from_rgb'][L - phase], cfg)
-    y_end = _dis_block(_from_rgb(x, params['from_rgb'][L - 1 - phase], cfg),
-                       params['blocks'][L - 1 - phase], cfg)
+    y_start, p_start = _from_rgb_any(avg_pool(x, 2), res // 2,
+                                     params['from_rgb'][L - phase], cfg)
+    y_in, _ = _from_rgb_any(x, res, params['from_rgb'][L - 1 - phase], cfg)
+    # run the fading block on y_in (which is packed iff res >= thr)
+    y_end, p_end = _dis_block_any(y_in, _want_packed(cfg, res),
+                                  L - 1 - phase, res, params, cfg)
+    assert p_start == p_end  # both follow res//2 >= threshold
     y = fade_in(y_start, y_end, alpha)
+    packed, r = p_end, res // 2
     for i in range(L - phase, L - 1):
-        y = _dis_block(y, params['blocks'][i], cfg)
+        y, packed = _dis_block_any(y, packed, i, r, params, cfg)
+        r //= 2
+    assert not packed
     return _dis_head(y, params, cfg)
 
 

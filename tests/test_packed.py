@@ -1,0 +1,121 @@
+"""Exactness of the space-to-depth packed execution path.
+
+The packed forward must equal the plain forward to float tolerance —
+identical parameters, identical math, different layout (ops/packed.py).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuron_gan_tpu.models import (
+    PGConfig, init_generator_pg, init_discriminator_pg,
+    generator_pg, discriminator_pg)
+from neuron_gan_tpu.ops import packed as pk
+from neuron_gan_tpu.ops import equalized_conv2d, pixel_norm, avg_pool
+
+
+CFG = PGConfig(n_gen_features=(32, 16, 8, 8), n_dis_features=(8, 8, 16, 32),
+               latent_dim=16, image_size_init=4, precision='highest')
+CFG_PACKED = dataclasses.replace(CFG, packed_min_res=16)
+
+
+def test_space_depth_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(pk.depth_to_space(pk.space_to_depth(x))), np.asarray(x))
+
+
+def test_packed_conv3x3_exact():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    p = {'w': jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))}
+    want = equalized_conv2d(x, p, padding=1, precision='highest')
+    got = pk.depth_to_space(pk.packed_equalized_conv3x3(
+        pk.space_to_depth(x), p, precision='highest'))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv3x3_with_bias():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    p = {'w': jnp.asarray(rng.standard_normal((3, 3, 3, 4)).astype(np.float32)),
+         'b': jnp.asarray(rng.standard_normal(4).astype(np.float32))}
+    want = equalized_conv2d(x, p, padding=1, precision='highest')
+    got = pk.depth_to_space(pk.packed_equalized_conv3x3(
+        pk.space_to_depth(x), p, precision='highest'))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_pixel_norm_exact():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    want = pixel_norm(x)
+    got = pk.depth_to_space(pk.packed_pixel_norm(pk.space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_packed_avg_pool_exact():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    want = avg_pool(x, 2)
+    got = pk.packed_avg_pool2(pk.space_to_depth(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.fixture(scope='module')
+def params():
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    return (jax.tree.map(np.asarray, init_generator_pg(kg, CFG)),
+            jax.tree.map(np.asarray, init_discriminator_pg(kd, CFG)))
+
+
+@pytest.mark.parametrize('phase,alpha', [(2, None), (3, None), (2, 0.3),
+                                         (3, 0.7)])
+def test_generator_packed_matches_plain(params, phase, alpha):
+    g, _ = params
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (2, CFG.latent_dim)),
+                   dtype=np.float32)
+    want = np.asarray(generator_pg(g, jnp.asarray(z), CFG, phase, alpha))
+    got = np.asarray(generator_pg(g, jnp.asarray(z), CFG_PACKED, phase, alpha))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize('phase,alpha', [(2, None), (3, None), (2, 0.3),
+                                         (3, 0.7)])
+def test_discriminator_packed_matches_plain(params, phase, alpha):
+    _, d = params
+    res = CFG.resolution(phase)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (2, res, res, 1)),
+                   dtype=np.float32)
+    want = np.asarray(discriminator_pg(d, jnp.asarray(x), CFG, phase, alpha))
+    got = np.asarray(discriminator_pg(d, jnp.asarray(x), CFG_PACKED, phase, alpha))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_gradients_match_plain(params):
+    """Backward pass through the packed layout lands identical gradients on
+    the (original-format) parameters."""
+    g, d = params
+    z = jnp.asarray(np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (2, CFG.latent_dim)),
+        dtype=np.float32))
+
+    def loss(gp, cfg):
+        x = generator_pg(gp, z, cfg, 3)
+        return jnp.sum(discriminator_pg(d, x, cfg, 3))
+
+    grads_plain = jax.grad(lambda p: loss(p, CFG))(g)
+    grads_packed = jax.grad(lambda p: loss(p, CFG_PACKED))(g)
+    for a, b in zip(jax.tree.leaves(grads_plain), jax.tree.leaves(grads_packed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

@@ -170,6 +170,7 @@ model_cfg = PGConfig(
     compute_dtype=config.compute_dtype,
     precision=(None if config.matmul_precision == 'default'
                else config.matmul_precision),
+    packed_min_res=config.packed_min_res,
 )
 
 key = jax.random.PRNGKey(config.seed)
