@@ -40,6 +40,7 @@ def bench_tpu(n_epochs_chunk=10):
         n_gen_features=(128, 64, 32, 32, 16, 16),
         n_dis_features=(16, 16, 32, 32, 64, 128),
         latent_dim=64, image_size_init=16, n_colors=1,
+        packed_min_res=64,  # default training configuration (exact transform)
     )
     batch = 8
     n_images = 16

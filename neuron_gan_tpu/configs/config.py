@@ -83,9 +83,10 @@ mesh_shape = None            # e.g. {'data': 8} or {'data': 4, 'model': 2}; None
 compute_dtype = 'float32'    # 'float32' or 'bfloat16' activation dtype for model compute
 matmul_precision = 'highest' # jax matmul precision for convs ('default'|'high'|'highest')
 use_pallas = False           # Enable Pallas fused kernels where available
-packed_min_res = None        # Space-to-depth packed conv threshold (e.g. 64):
-                             # layers at >= this resolution run 2x2-packed
-                             # (exact transform; see ops/packed.py)
+packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
+                             # >= this resolution run 2x2-packed (exact
+                             # transform, 2.4x step speedup at 512^2 — see
+                             # ops/packed.py). None disables.
 ema_beta = 0.0               # EMA decay for a shadow generator (0 disables; stretch goal)
 donate_state = True          # Donate train-state buffers to jit (in-place update on device)
 
