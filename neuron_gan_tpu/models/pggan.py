@@ -78,6 +78,9 @@ class PGConfig:
     # exactly-transformed kernels — raises MXU lane occupancy on the
     # narrow-channel high-res layers (see ops/packed.py).  None disables.
     packed_min_res: Optional[int] = None
+    # Use the Pallas fused LeakyReLU+PixelNorm kernel in unpacked blocks
+    # (ops/pallas_kernels.py); off by default — XLA's fusion is competitive.
+    use_pallas: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, 'n_gen_features', tuple(self.n_gen_features))
@@ -173,27 +176,37 @@ def init_discriminator_pg(key, cfg: PGConfig, dtype=jnp.float32):
 # Forward passes
 # --------------------------------------------------------------------------
 
+def _lrelu_pn(x, cfg: PGConfig):
+    """LeakyReLU -> PixelNorm epilogue; Pallas-fused when cfg.use_pallas."""
+    if cfg.use_pallas:
+        import jax
+        from neuron_gan_tpu.ops.pallas_kernels import lrelu_pixel_norm_pallas
+        interpret = jax.default_backend() != 'tpu'  # CPU tests run interpreted
+        return lrelu_pixel_norm_pallas(x, cfg.neg_slope, 1e-8, interpret)
+    return pixel_norm(leaky_relu(x, cfg.neg_slope))
+
+
 def _gen_block(x, p, cfg: PGConfig):
     """Upsample-then-two-convs generator block (models.py:245-268, scale=2)."""
     x = upsample2_bilinear(x)
-    x = pixel_norm(leaky_relu(
-        equalized_conv2d(x, p['conv1'], padding=1, neg_slope=cfg.neg_slope,
-                         precision=cfg.precision), cfg.neg_slope))
-    x = pixel_norm(leaky_relu(
-        equalized_conv2d(x, p['conv2'], padding=1, neg_slope=cfg.neg_slope,
-                         precision=cfg.precision), cfg.neg_slope))
+    x = _lrelu_pn(equalized_conv2d(x, p['conv1'], padding=1,
+                                   neg_slope=cfg.neg_slope,
+                                   precision=cfg.precision), cfg)
+    x = _lrelu_pn(equalized_conv2d(x, p['conv2'], padding=1,
+                                   neg_slope=cfg.neg_slope,
+                                   precision=cfg.precision), cfg)
     return x
 
 
 def _dis_block(x, p, cfg: PGConfig):
     """AvgPool-then-two-convs discriminator block (models.py:245-268, scale=0.5)."""
     x = avg_pool(x, 2)
-    x = pixel_norm(leaky_relu(
-        equalized_conv2d(x, p['conv1'], padding=1, neg_slope=cfg.neg_slope,
-                         precision=cfg.precision), cfg.neg_slope))
-    x = pixel_norm(leaky_relu(
-        equalized_conv2d(x, p['conv2'], padding=1, neg_slope=cfg.neg_slope,
-                         precision=cfg.precision), cfg.neg_slope))
+    x = _lrelu_pn(equalized_conv2d(x, p['conv1'], padding=1,
+                                   neg_slope=cfg.neg_slope,
+                                   precision=cfg.precision), cfg)
+    x = _lrelu_pn(equalized_conv2d(x, p['conv2'], padding=1,
+                                   neg_slope=cfg.neg_slope,
+                                   precision=cfg.precision), cfg)
     return x
 
 

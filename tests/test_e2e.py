@@ -152,6 +152,24 @@ def test_eval_cli_reference_pth(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_adapt_critic_cli(tmp_path, monkeypatch, tiny_dataset_dir):
+    """adapt_critic path: 1-epoch chunks with a dynamically bucketed n_critic."""
+    out_root = tmp_path / 'ac_run'
+    out_root.mkdir()
+    cfg = tmp_path / 'cfg_ac.py'
+    _write_config(cfg, tiny_dataset_dir, out_root,
+                  extra='adapt_critic = True\nn_critic = 2\nN_epochs_session = 4\n'
+                        'transit_sch = [30, 60]\nN_epochs = 100\n'
+                        'checkpointing_period = 4\n')
+    _run_cli(monkeypatch, 'train.py', ['--configs', str(cfg)])
+    weights = out_root / 'weights' / 'GenDisc_e2e1.npz'
+    assert weights.exists()
+    from neuron_gan_tpu.checkpoint import load_pytree_npz
+    _, meta = load_pytree_npz(str(weights))
+    assert meta['epoch'] == 4
+
+
+@pytest.mark.slow
 def test_wgan_train_cli(tmp_path, monkeypatch, tiny_dataset_dir):
     """Legacy WGAN path: weight clamping, BN nets, per-epoch monitoring."""
     out_root = tmp_path / 'wgan_run'

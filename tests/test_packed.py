@@ -102,6 +102,16 @@ def test_discriminator_packed_matches_plain(params, phase, alpha):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_use_pallas_forward_matches_plain(params):
+    g, _ = params
+    cfg_pl = dataclasses.replace(CFG, use_pallas=True)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (2, CFG.latent_dim)),
+                   dtype=np.float32)
+    want = np.asarray(generator_pg(g, jnp.asarray(z), CFG, 2))
+    got = np.asarray(generator_pg(g, jnp.asarray(z), cfg_pl, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_packed_gradients_match_plain(params):
     """Backward pass through the packed layout lands identical gradients on
     the (original-format) parameters."""
