@@ -30,8 +30,9 @@ def make_samples_video(video_filename, frames_dir, video_length=20,
         import cv2
     except ImportError as exc:
         raise RuntimeError('make_samples_video requires OpenCV (cv2)') from exc
-    if shutil.which('ffmpeg') is None:
-        raise RuntimeError('make_samples_video requires the ffmpeg binary')
+    have_ffmpeg = shutil.which('ffmpeg') is not None
+    if not have_ffmpeg:
+        print('ffmpeg not found: writing .avi only (no .mp4/.gif conversion)')
 
     frames = [f for f in os.listdir(frames_dir)
               if f.endswith('.png') and _frame_epoch(f) is not None]
@@ -76,6 +77,8 @@ def make_samples_video(video_filename, frames_dir, video_length=20,
         bar.step()
     out.release()
 
+    if not have_ffmpeg:
+        return avi
     w = 720
     subprocess.run(['ffmpeg', '-y', '-loglevel', 'warning', '-i', avi,
                     '-vf', f'scale={w}:-2,setsar=1', mp4], check=False)
@@ -84,8 +87,11 @@ def make_samples_video(video_filename, frames_dir, video_length=20,
                     f'fps=20,scale={w}:-2:flags=lanczos,split[s0][s1];'
                     '[s0]palettegen=max_colors=8[p];[s1][p]paletteuse=dither=bayer'],
                    check=False)
-    os.remove(avi)
-    return mp4
+    # only drop the intermediate once the mp4 conversion actually succeeded
+    if os.path.exists(mp4):
+        os.remove(avi)
+        return mp4
+    return avi
 
 
 if __name__ == '__main__':
