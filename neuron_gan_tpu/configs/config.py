@@ -89,6 +89,9 @@ packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
                              # ops/packed.py). None disables.
 ema_beta = 0.0               # EMA decay for a shadow generator (0 disables; stretch goal)
 donate_state = True          # Donate train-state buffers to jit (in-place update on device)
+profile_dir = ''             # If set, capture a jax.profiler trace of one
+                             # steady-state training chunk into this directory
+                             # (view with TensorBoard / xprof)
 
 ################################### END OF CONFIGURATION VARIABLES ###################################
 local_vars = dict(locals())

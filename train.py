@@ -376,6 +376,7 @@ def pggan_train():
     start_time = time.time()
     monitored = OrderedDict()
     epoch = epoch_init
+    pggan_train.profiled = False
     n_critic = config.n_critic
     run_key = jax.random.PRNGKey(config.seed + 977)
 
@@ -396,8 +397,17 @@ def pggan_train():
         spec = make_spec(epoch, n_critic)
         runner = make_epoch_runner(model_cfg, spec, n_epochs_chunk,
                                    donate=config.donate_state)
+        # optional one-shot device trace of a steady-state chunk
+        profile_this = bool(config.profile_dir) and epoch > epoch_init \
+            and not pggan_train.profiled
+        if profile_this:
+            jax.profiler.start_trace(config.profile_dir)
         state, stats = runner(state, images_stack, run_key, epoch)
         stats = np.asarray(jax.device_get(stats))  # (n, 6)
+        if profile_this:
+            jax.profiler.stop_trace()
+            pggan_train.profiled = True
+            print(f'Profiler trace written to {config.profile_dir}')
 
         # NaN guard (reference loss_functions.py:35-41 — host-side here)
         if not np.isfinite(stats).all():
