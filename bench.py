@@ -89,6 +89,9 @@ def bench_eval(n_images=20, n_iters=20):
     from neuron_gan_tpu.models import PGConfig, init_generator_pg, generator_pg
     from neuron_gan_tpu.utils.latents import sample_latent_vec
 
+    # plain layout: packing pays for the training step (grad + double-backward
+    # conv work), but measured slower for forward-only inference (117 vs 132
+    # images/s), so eval stays unpacked
     cfg = PGConfig(
         n_gen_features=(128, 64, 32, 32, 16, 16),
         n_dis_features=(16, 16, 32, 32, 64, 128),
