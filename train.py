@@ -14,7 +14,6 @@ of compilations.
 """
 
 import argparse
-import math
 import os
 import re
 import sys
@@ -113,7 +112,7 @@ from neuron_gan_tpu.models import (
 from neuron_gan_tpu.parallel import make_mesh, shard_params, replicate
 from neuron_gan_tpu.train_step import (
     ChunkSpec, make_epoch_runner, make_optimizer, init_train_state,
-    make_lr_schedule, STAT_NAMES)
+    STAT_NAMES)
 from neuron_gan_tpu.utils import sample_latent_vec, validated_input
 from neuron_gan_tpu.utils.crashdump import save_vars
 from neuron_gan_tpu.utils.monitor import calculate_d_steps
@@ -232,13 +231,14 @@ if mesh is not None:
     images_stack = replicate(images_stack, mesh)
 
 # ---------------------------------------------------------------- schedule
-lr_at = make_lr_schedule(config.learning_rate, config.transit_sch,
-                         config.N_epochs)
-boundaries = [0] + list(config.transit_sch) + [config.N_epochs]
-phase_lens = [boundaries[i + 1] - boundaries[i]
-              for i in range(len(boundaries) - 1)]
-gammas = [math.exp(math.log(1 / 100) / (pl / 2)) for pl in phase_lens]
-fade_len = math.ceil(1 / config.alpha_step)
+from neuron_gan_tpu.schedule import TrainSchedule
+
+sched = TrainSchedule(transit_sch=tuple(config.transit_sch),
+                      alpha_step=config.alpha_step,
+                      n_epochs=config.N_epochs,
+                      checkpointing_period=config.checkpointing_period,
+                      lr0=config.learning_rate)
+lr_at = sched.lr_at
 Disc_adapt_update_period = 100
 Monitoring_period = 10
 
@@ -250,51 +250,26 @@ else:
 
 
 def phase_at_epoch(e):
-    return sum(e >= t for t in config.transit_sch)
+    return sched.phase_at(e)
 
 
 def fading_at_epoch(e):
-    for t in config.transit_sch:
-        if t <= e < t + fade_len:
-            return True, t
-    return False, 0
-
-
-def lr_phase_of(e):
-    """lr-phase index for the chunk starting at epoch e.  Chunks never cross
-    boundaries, and a chunk starting exactly at a transition belongs to the
-    new phase (its first epoch's old-lr value rides in via lr_prev_final)."""
-    return sum(e >= t for t in config.transit_sch)
+    return sched.fading_at(e)
 
 
 def growth_at_epoch(e):
-    phase = phase_at_epoch(e)
-    fading, t0 = fading_at_epoch(e)
-    alpha = min((e - t0) * config.alpha_step, 1.0) if fading else 1.0
-    return GrowthState(model_cfg, phase=phase, alpha=alpha)
+    return GrowthState(model_cfg, phase=sched.phase_at(e),
+                       alpha=sched.alpha_at(e))
 
 
 def next_chunk_end(e):
-    stops = [epoch_final - 1]
-    # checkpoint cadence
-    stops.append(((e - 1) // config.checkpointing_period + 1)
-                 * config.checkpointing_period)
-    for t in config.transit_sch:
-        if t > e:
-            stops.append(t - 1)
-        if t <= e < t + fade_len:
-            stops.append(t + fade_len - 1)
-        elif t + fade_len > e and t <= e:
-            pass
-    if config.adapt_critic:
-        stops.append(e)
-    return min(s for s in stops if s >= e)
+    return sched.chunk_end(e, epoch_final, single_epoch=config.adapt_critic)
 
 
 def make_spec(e, n_critic):
-    phase = phase_at_epoch(e)
-    fading, t0 = fading_at_epoch(e)
-    lrp = lr_phase_of(e)
+    phase = sched.phase_at(e)
+    fading, t0 = sched.fading_at(e)
+    lrp = sched.lr_phase_of_chunk(e)
     return ChunkSpec(
         phase=phase, fading=fading, n_critic=n_critic,
         batch_size=config.batch_size, n_images=N_real_images,
@@ -306,10 +281,10 @@ def make_spec(e, n_critic):
         sim_lambda0=float(config.sim_loss_lambda),
         sim_decay=float(config.sim_loss_lambda_decay_rate),
         beta1=float(config.beta1), rmsprop=bool(config.RMSprop),
-        lr0=float(config.learning_rate), lr_gamma=float(gammas[lrp]),
-        lr_boundary=int(boundaries[lrp]),
-        lr_cap=int(phase_lens[lrp] // 2),
-        lr_prev_final=float(lr_at(e)),
+        lr0=float(config.learning_rate), lr_gamma=float(sched.gammas[lrp]),
+        lr_boundary=int(sched.boundaries[lrp]),
+        lr_cap=int(sched.phase_lens[lrp] // 2),
+        lr_prev_final=float(sched.lr_at(e)),
         alpha_start=t0, alpha_step=float(config.alpha_step),
         latent_dim=config.latent_dim,
         data_axis=('data' if mesh is not None else None),
