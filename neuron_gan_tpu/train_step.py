@@ -299,8 +299,7 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         stats = jnp.stack([sr, sf, d_loss_val, g_loss_val, gp, g_sim]) * B
         return new_state, stats
 
-    def epoch_body(carry, epoch):
-        state, key, images_stack = carry
+    def epoch_body(state, epoch, key, images_stack):
         k_epoch = jax.random.fold_in(key, epoch)
         lr = _traced_lr(spec, epoch)
         if spec.fading:
@@ -330,12 +329,14 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
             lambda s, inp: batch_body(s, inp, alpha, lr, lam),
             state, (batches, batch_keys))
         epoch_stats = jnp.sum(stats, axis=0) / spec.n_images
-        return (state, key, images_stack), epoch_stats
+        return state, epoch_stats
 
     def run(state, images_stack, key, first_epoch):
         epochs = first_epoch + jnp.arange(n_epochs)
-        (state, _, _), stats = jax.lax.scan(
-            epoch_body, (state, key, images_stack), epochs)
+        # key and the (large) image stack are loop-invariant: close over them
+        # rather than carrying them through the scan
+        state, stats = jax.lax.scan(
+            lambda s, e: epoch_body(s, e, key, images_stack), state, epochs)
         return state, stats
 
     donate_argnums = (0,) if donate else ()
