@@ -19,7 +19,6 @@ matching variance; the legacy nets are not weight-import targets.
 """
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -109,9 +108,8 @@ def init_generator_wgan(key, n_features, latent_dim=512, image_size=512,
     n_layers = len(n_features)
     init = image_size // (2 ** n_layers)
     ks = iter(jax.random.split(key, 3 * n_layers + 4))
-    params = {'linear': _init_linear(next(ki := ks if False else ks)
-                                     if False else next(ks),
-                                     latent_dim, n_features[0] * init * init)}
+    params = {'linear': _init_linear(next(ks), latent_dim,
+                                     n_features[0] * init * init)}
     bn_p, bn_s = _init_bn(next(ks), n_features[0])
     params['bn0'], state0 = bn_p, bn_s
     bn_states = {'bn0': state0}

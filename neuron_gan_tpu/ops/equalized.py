@@ -13,7 +13,6 @@ the 128-wide lane dimension feeding the MXU).
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ owns the pure arithmetic that decides, for any epoch,
 
 import dataclasses
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

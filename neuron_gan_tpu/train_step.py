@@ -42,7 +42,7 @@ XLA inserts the gradient psums over ICI.
 import dataclasses
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
