@@ -121,6 +121,89 @@ def test_pth_import_roundtrip(tmp_path, phase, alpha):
     np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize('phase,alpha', [(1, 0.5), (2, 1.0)])
+def test_legacy_format_checkpoint_migration(tmp_path, phase, alpha):
+    """Old-format checkpoints (full ToIm_list/conv_block_list plus
+    ToIm_prev/last_conv_block entries) are migrated like the reference does
+    (models.py:411-436/:583-608: pop-and-reindex, drop *_prev modules)."""
+    g, d = make_params()
+    growth = GrowthState(CFG)
+    growth.set_resolution(CFG.resolution(phase), alpha)
+    L = CFG.n_layers_max
+    fading = alpha < 1.0
+    n_completed = phase - (1 if fading else 0)
+    p = 1 + n_completed          # generator ToIm pops in the new format
+    m = n_completed              # grown blocks
+
+    from neuron_gan_tpu.checkpoint import (
+        _hwio_to_oihw)
+
+    g_new = export_generator_state(g, CFG, growth)
+    d_new = export_discriminator_state(d, CFG, growth)
+
+    # --- build the OLD generator layout: full lists + *_prev modules
+    g_old = {}
+    for k, v in g_new.items():
+        if k.startswith('ToIm_list.'):
+            idx = int(k.split('.')[1])
+            g_old[f'ToIm_list.{idx + p}' + k[len(f'ToIm_list.{idx}'):]] = v
+        elif k.startswith('conv_block_list.'):
+            idx = int(k.split('.')[1])
+            g_old[f'conv_block_list.{idx + m}' + k[len(f'conv_block_list.{idx}'):]] = v
+        else:
+            g_old[k] = v
+    for j in range(p):  # stale leading entries the migration must drop
+        g_old[f'ToIm_list.{j}.layers.0.weight'] = _hwio_to_oihw(g['to_rgb'][j]['w'])
+    for j in range(m):
+        g_old[f'conv_block_list.{j}.1.weight'] = _hwio_to_oihw(g['blocks'][j]['conv1']['w'])
+        g_old[f'conv_block_list.{j}.4.weight'] = _hwio_to_oihw(g['blocks'][j]['conv2']['w'])
+    g_old['ToIm_prev.layers.0.weight'] = _hwio_to_oihw(g['to_rgb'][0]['w'])
+    g_old['last_conv_block.1.weight'] = _hwio_to_oihw(g['blocks'][0]['conv1']['w'])
+
+    # --- old discriminator layout: full lists (stale entries at the END)
+    r = L - p                     # len(FromIm_list) in the new format
+    d_old = dict(d_new)
+    for j in range(r, L):         # stale trailing entries
+        d_old[f'FromIm_list.{j}.conv.weight'] = _hwio_to_oihw(d['from_rgb'][L - 1]['w'])
+        d_old[f'FromIm_list.{j}.conv.bias'] = np.asarray(d['from_rgb'][L - 1]['b'])
+    n_cbl_new = L - 1 - m
+    for j in range(n_cbl_new, L - 1):
+        d_old[f'conv_block_list.{j}.1.weight'] = _hwio_to_oihw(d['blocks'][0]['conv1']['w'])
+        d_old[f'conv_block_list.{j}.4.weight'] = _hwio_to_oihw(d['blocks'][0]['conv2']['w'])
+    d_old['FromIm_prev.conv.weight'] = _hwio_to_oihw(d['from_rgb'][0]['w'])
+    d_old['first_conv_block.1.weight'] = _hwio_to_oihw(d['blocks'][0]['conv1']['w'])
+
+    def to_torch(state):
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}
+
+    g_attrs = make_reference_attrs(CFG, growth, latent=True)
+    d_attrs = make_reference_attrs(CFG, growth, latent=False)
+    ckpt = {
+        'epoch': 1,
+        'Generator_state': to_torch(g_old),
+        'Generator_attrs': g_attrs,
+        'Discriminator_state': to_torch(d_old),
+        'Discriminator_attrs': d_attrs,
+        'lr': 1e-4,
+    }
+    path = str(tmp_path / 'legacy.pth')
+    torch.save(ckpt, path)
+
+    g2, d2, cfg2, growth2, _ = import_reference_checkpoint(path)
+    a = None if alpha >= 1.0 else alpha
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (2, CFG.latent_dim)),
+                   dtype=np.float32)
+    out1 = np.asarray(generator_pg(g, jnp.asarray(z), CFG, phase, a))
+    out2 = np.asarray(generator_pg(g2, jnp.asarray(z), cfg2, phase, a))
+    np.testing.assert_allclose(out1, out2, rtol=1e-6, atol=1e-7)
+    res = CFG.resolution(phase)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(10), (2, res, res, 1)),
+                   dtype=np.float32)
+    s1 = np.asarray(discriminator_pg(d, jnp.asarray(x), CFG, phase, a))
+    s2 = np.asarray(discriminator_pg(d2, jnp.asarray(x), cfg2, phase, a))
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+
+
 def test_pth_reader_blocks_arbitrary_globals(tmp_path):
     import os
     path = str(tmp_path / 'evil.pth')
