@@ -70,9 +70,10 @@ def _affine_warp_nearest(img, angle_deg, tx, ty, flip):
     valid = (ix >= 0) & (ix < p) & (iy >= 0) & (iy < p)
     ixc = jnp.clip(ix, 0, p - 1)
     iyc = jnp.clip(iy, 0, p - 1)
-    # flattened 1D take compiles to a much cheaper gather than 2D indexing
-    flat = jnp.take(img.reshape(p * p, img.shape[-1]),
-                    (iyc * p + ixc).reshape(-1), axis=0)
+    # flattened 1D take compiles to a much cheaper gather than 2D indexing;
+    # indices are clipped above, so XLA may skip its own bounds handling
+    flat = img.reshape(p * p, img.shape[-1]).at[
+        (iyc * p + ixc).reshape(-1)].get(mode='promise_in_bounds')
     out = flat.reshape(p, p, img.shape[-1])
     return jnp.where(valid[..., None], out, 0.0)
 
