@@ -26,7 +26,7 @@ from neuron_gan_tpu.configs import config
 weights_filepath = os.path.join(config.weights_dir, options.weights)
 output_filepath = os.path.join(config.images_dir, options.output)
 if not os.path.exists(weights_filepath):
-    raise FileExistsError(f'{weights_filepath} does not exist. Run setup.py.')
+    raise FileNotFoundError(f'{weights_filepath} does not exist. Run setup.py.')
 
 import jax.numpy as jnp
 import jax
@@ -48,8 +48,15 @@ else:
     g_key = 'g_ema' if (options.ema and 'g_ema' in state) else 'g_params'
     g_params = jax.tree.map(jnp.asarray, state[g_key])
     n_feats = tuple(meta['N_gen_features'])
-    init = int(meta['image_size']) // (2 ** int(meta['phase'])) \
-        if 'phase' in meta else 4
+    if 'image_size_init' in meta:
+        init = int(meta['image_size_init'])
+    elif 'phase' in meta:
+        init = int(meta['image_size']) // (2 ** int(meta['phase']))
+    else:
+        raise ValueError(
+            f'{weights_filepath} has no image_size_init/phase metadata — '
+            'cannot infer the architecture. Re-save the checkpoint with the '
+            'training driver, or convert it to the reference .pth format.')
     model_cfg = PGConfig(
         n_gen_features=n_feats,
         n_dis_features=tuple(meta['N_dis_features']),

@@ -86,19 +86,23 @@ class TrainSchedule:
 
     # ---------------------------------------------------------------- chunks
     def chunk_end(self, epoch: int, epoch_final: int,
-                  single_epoch: bool = False) -> int:
+                  adapt_period: int = None) -> int:
         """Last epoch of the chunk starting at ``epoch``.
 
         Stops at (whichever comes first): the epoch before the next
         transition, the last fading epoch of an active fade, the next
         checkpoint boundary, or the final epoch of the session.
-        ``single_epoch`` (adapt_critic) forces 1-epoch chunks.
+        ``adapt_period`` (adapt_critic) additionally aligns chunks to
+        multiples of the critic-adaptation window so N_D is recomputed with
+        at most a window of staleness — the reference recomputes per epoch
+        from the same 100-epoch lookback (train.py:336-340), so a
+        window-aligned recompute sees the identical information horizon.
         """
-        if single_epoch:
-            return epoch
         stops = [epoch_final - 1]
         stops.append(((epoch - 1) // self.checkpointing_period + 1)
                      * self.checkpointing_period)
+        if adapt_period:
+            stops.append(((epoch - 1) // adapt_period + 1) * adapt_period)
         for t in self.transit_sch:
             if t > epoch:
                 stops.append(t - 1)
@@ -107,10 +111,10 @@ class TrainSchedule:
         return min(s for s in stops if s >= epoch)
 
     def plan_chunks(self, epoch_init: int, epoch_final: int,
-                    single_epoch: bool = False):
+                    adapt_period: int = None):
         """Yield (start, end) chunks covering [epoch_init, epoch_final)."""
         e = epoch_init
         while e < epoch_final:
-            end = self.chunk_end(e, epoch_final, single_epoch)
+            end = self.chunk_end(e, epoch_final, adapt_period)
             yield e, end
             e = end + 1

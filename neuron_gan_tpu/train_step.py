@@ -41,7 +41,6 @@ XLA inserts the gradient psums over ICI.
 
 import dataclasses
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -104,29 +103,6 @@ def _apply_update(params, opt_state, grads, opt, lr):
 # --------------------------------------------------------------------------
 # Pure schedules (reference train.py:233-265, :319-321, :343-348)
 # --------------------------------------------------------------------------
-
-def make_lr_schedule(lr0, transit_sch, n_epochs, total_decay=1 / 100):
-    """Returns lr_at(epoch) giving the lr in effect while training `epoch`.
-
-    Matches update_lr (train.py:250-265) evaluated at epoch-1 (the reference
-    updates the optimizer after each epoch and once before the loop).
-    """
-    boundaries = [0] + list(transit_sch) + [n_epochs]
-    phase_lens = [boundaries[i + 1] - boundaries[i] for i in range(len(boundaries) - 1)]
-    gammas = [math.exp(math.log(total_decay) / (pl / 2)) for pl in phase_lens]
-
-    def lr_at(epoch: int) -> float:
-        e = epoch - 1  # lr set by update_lr(epoch-1)
-        if e <= 0 or e in boundaries:
-            return lr0
-        phase = sum(e > t for t in transit_sch)
-        e_since = e - boundaries[phase]
-        cap = phase_lens[phase] / 2
-        steps = min(e_since, math.floor(cap))
-        return lr0 * (gammas[phase] ** steps)
-
-    return lr_at
-
 
 def alpha_at(epoch: int, transit_sch, alpha_step) -> float:
     """Alpha in effect while training `epoch` (1.0 when no fade active).
@@ -197,7 +173,9 @@ class ChunkSpec:
 
 
 def _traced_lr(spec: ChunkSpec, epoch):
-    """In-graph mirror of make_lr_schedule for a single (static) phase."""
+    """In-graph mirror of schedule.TrainSchedule.lr_at for one (static) phase
+    (the host arithmetic lives there; the spec carries its per-phase
+    gamma/boundary/cap so no recompile is needed as lr decays)."""
     e = epoch - 1
     e_since = e - spec.lr_boundary
     steps = jnp.clip(e_since, 0, spec.lr_cap).astype(jnp.float32)

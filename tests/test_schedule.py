@@ -48,9 +48,15 @@ def test_chunk_ends_at_checkpoints():
             assert not (s <= c < e), (s, e, c)
 
 
-def test_single_epoch_mode():
-    chunks = list(SCHED.plan_chunks(1, 6, single_epoch=True))
-    assert chunks == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]
+def test_adapt_period_aligns_chunks():
+    # adapt_critic chunks stop at multiples of the adaptation window so N_D
+    # is recomputed with at most a window of staleness
+    chunks = list(SCHED.plan_chunks(1, 301, adapt_period=20))
+    for s, e in chunks:
+        for c in range(20, 301, 20):
+            assert not (s <= c < e), (s, e, c)
+    # still covers fully
+    assert chunks[0][0] == 1 and chunks[-1][1] == 300
 
 
 def test_resume_mid_fade():
@@ -60,11 +66,42 @@ def test_resume_mid_fade():
     assert SCHED.fading_at(130) == (True, 100)
 
 
-def test_lr_matches_train_step_schedule():
-    from neuron_gan_tpu.train_step import make_lr_schedule
-    ref = make_lr_schedule(1e-4, [100, 200], 300)
-    for e in [1, 2, 50, 51, 99, 100, 101, 102, 150, 151, 200, 201, 250, 300]:
-        assert SCHED.lr_at(e) == pytest.approx(ref(e)), e
+def test_traced_lr_matches_host_schedule():
+    # property test: the in-graph lr (_traced_lr, fed per-chunk constants
+    # derived from TrainSchedule) equals the host lr_at for every epoch of
+    # every chunk, across random schedules
+    import random
+
+    import numpy as np
+
+    from neuron_gan_tpu.train_step import _traced_lr
+
+    class _Spec:  # only the fields _traced_lr reads
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    rng = random.Random(0)
+    for _ in range(8):
+        n_trans = rng.randint(1, 4)
+        ts, t = [], 0
+        for _ in range(n_trans):
+            t += rng.randint(40, 120)
+            ts.append(t)
+        n_epochs = ts[-1] + rng.randint(40, 120)
+        sched = TrainSchedule(transit_sch=tuple(ts), alpha_step=0.05,
+                              n_epochs=n_epochs,
+                              checkpointing_period=rng.choice([10, 25, 50]),
+                              lr0=10 ** rng.uniform(-5, -3))
+        for s, e in sched.plan_chunks(1, n_epochs + 1):
+            lrp = sched.lr_phase_of_chunk(s)
+            spec = _Spec(lr0=sched.lr0, lr_gamma=sched.gammas[lrp],
+                         lr_boundary=sched.boundaries[lrp],
+                         lr_cap=sched.phase_lens[lrp] // 2,
+                         lr_prev_final=sched.lr_at(s))
+            for epoch in range(s, e + 1):
+                traced = float(_traced_lr(spec, np.int32(epoch)))
+                assert traced == pytest.approx(sched.lr_at(epoch),
+                                               rel=2e-5), (ts, s, e, epoch)
 
 
 def test_lr_phase_of_chunk():

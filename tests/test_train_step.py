@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from neuron_gan_tpu.models import PGConfig, init_generator_pg, init_discriminator_pg
 from neuron_gan_tpu.train_step import (
     ChunkSpec, make_epoch_runner, make_optimizer, init_train_state,
-    make_lr_schedule, alpha_at, sim_lambda_at, STAT_NAMES,
+    alpha_at, sim_lambda_at, STAT_NAMES,
 )
 
 
@@ -86,7 +86,10 @@ def test_gp_lambda_zero_skips_penalty(images_stack):
 
 def test_lr_schedule_matches_reference_semantics():
     # schedule: transitions at 100, 200; N=300; per-phase halves = 50
-    lr_at = make_lr_schedule(1e-4, [100, 200], 300)
+    from neuron_gan_tpu.schedule import TrainSchedule
+    lr_at = TrainSchedule(transit_sch=(100, 200), alpha_step=0.05,
+                          n_epochs=300, checkpointing_period=100,
+                          lr0=1e-4).lr_at
     assert lr_at(1) == 1e-4                      # boundary reset
     g = np.exp(np.log(1 / 100) / 50)
     assert lr_at(2) == pytest.approx(1e-4 * g)   # first decay step

@@ -126,7 +126,10 @@ if not config.resume:
                 if f.endswith(('.pth', '.npz'))]
     ids_existent = set()
     for f in existent:
-        m = re.match(r'(?P<prefix>[^_]+)_(?P<ID>[^_.]+)\.(pth|npz)$', f)
+        # Also match the Checkpointer's immutable snapshot files
+        # (e.g. GenDisc_ab12_1k.npz), so an ID whose rolling file was
+        # deleted still registers as taken.
+        m = re.match(r'(?P<prefix>[^_]+)_(?P<ID>[^_.]+?)(?:_\d+k)?\.(pth|npz)$', f)
         if m:
             ids_existent.add(m.group('ID'))
     if config.ID in ids_existent:
@@ -263,7 +266,12 @@ def growth_at_epoch(e):
 
 
 def next_chunk_end(e):
-    return sched.chunk_end(e, epoch_final, single_epoch=config.adapt_critic)
+    # adapt_critic recomputes N_D once per window-aligned chunk (period =
+    # the reference's 100-epoch lookback window) rather than per epoch —
+    # same information horizon, chunked-dispatch speed.
+    return sched.chunk_end(
+        e, epoch_final,
+        adapt_period=(Disc_adapt_update_period if config.adapt_critic else None))
 
 
 def make_spec(e, n_critic):
@@ -340,6 +348,7 @@ def save_checkpoint(epoch, state, growth):
         'N_gen_features': list(config.N_gen_features),
         'N_dis_features': list(config.N_dis_features),
         'latent_dim': config.latent_dim,
+        'image_size_init': model_cfg.image_size_init,
     }
     host_state = jax.tree.map(np.asarray, state)
     checkpoint.save_state(epoch, host_state, meta)
@@ -359,7 +368,10 @@ def pggan_train():
         growth = growth_at_epoch(epoch)
         dataset.set_image_size(growth.image_size)
 
-        if config.adapt_critic and checkpoint.epoch > Disc_adapt_update_period:
+        # Gate on the populated loss-series length (entries exist for epochs
+        # 1..epoch-1), matching reference train.py:336 which gates on
+        # len(Score_real_series) > Disc_adapt_update_period.
+        if config.adapt_critic and (epoch - 1) > Disc_adapt_update_period:
             n_critic = calculate_d_steps(
                 checkpoint.loss_real[:epoch - 1],
                 checkpoint.loss_fake[:epoch - 1],
