@@ -94,19 +94,19 @@ profile_dir = ''             # If set, capture a jax.profiler trace of one
                              # (view with TensorBoard / xprof)
 
 ################################### END OF CONFIGURATION VARIABLES ###################################
-local_vars = dict(locals())
 
 
-def is_var_a_config(x: str):
-    """A module-level name is a config knob unless it is private/module/function."""
-    if x in ('local_vars', 'is_var_a_config') or x.startswith('__'):
-        return False
-    if x not in local_vars:
-        return False
-    return not isinstance(local_vars[x], (ModuleType, FunctionType))
+def _is_knob(name, value):
+    """A module-level binding is a config knob iff it has a public name and a
+    plain value (dunders, imported modules, and functions are machinery)."""
+    return not (name.startswith('__')
+                or isinstance(value, (ModuleType, FunctionType)))
 
 
-configs_name = {var: val for var, val in local_vars.items() if is_var_a_config(var)}
+# Snapshot of every knob name -> default value, taken before the machinery
+# below is defined. This is the whitelist user configs and CLI overrides are
+# validated against (reference contract: configs/config.py:208-263).
+configs_name = {n: v for n, v in list(globals().items()) if _is_knob(n, v)}
 
 
 def define_ID_dependent_configs():
@@ -207,59 +207,58 @@ def validate_configs(interactive=True):
 define_ID_dependent_configs()
 
 
+def _resolve_config_path(filename):
+    """Normalize a user-config filename to an existing .py path.
+
+    Relative names are searched in the package configs dir first, then in the
+    caller's ./configs, so user projects can keep configs outside the
+    installed package.
+    """
+    stem, ext = os.path.splitext(filename)
+    if ext not in ('', '.py'):
+        raise ValueError('Filename must be a .py file')
+    filename = stem + '.py'
+    if os.path.isabs(filename):
+        candidates = [filename]
+    else:
+        candidates = [os.path.join(configs_dir, filename),
+                      os.path.join(os.getcwd(), 'configs', filename)]
+    for path in candidates:
+        if os.path.exists(path):
+            return path
+    raise AssertionError(
+        f'The configuration file {filename} does not exist in {configs_dir}')
+
+
 def import_configs(filename, overwritten_configs=None, interactive=True):
-    """Dynamically exec a user config .py, validate names, merge CLI overrides.
+    """Run a user config .py, validate its names, merge CLI overrides.
 
     Precedence: defaults < user config module < overwritten_configs
-    (reference: configs/config.py:208-263).
+    (reference contract: configs/config.py:208-263; train.py:95-104).
     """
-    if overwritten_configs is None:
-        overwritten_configs = {}
-    else:
-        for config_name in overwritten_configs:
-            if config_name not in configs_name:
-                raise ValueError(f"The overwritten config '{config_name}' is not defined.")
+    overrides = dict(overwritten_configs or {})
+    for name in overrides:
+        if name not in configs_name:
+            raise ValueError(f"The overwritten config '{name}' is not defined.")
 
-    base_name, ext = os.path.splitext(filename)
-    if ext == '':
-        filename += '.py'
-    elif ext != '.py':
-        raise ValueError('Filename must be a .py file')
+    path = _resolve_config_path(filename)
 
-    config_filepath = filename if os.path.isabs(filename) else os.path.join(configs_dir, filename)
-    if not os.path.exists(config_filepath) and not os.path.isabs(filename):
-        # Also look next to the caller's CWD ./configs, so user projects can
-        # keep their configs outside the installed package.
-        alt = os.path.join(os.getcwd(), 'configs', filename)
-        if os.path.exists(alt):
-            config_filepath = alt
-    assert os.path.exists(config_filepath), \
-        f'The configuration file {filename} does not exist in {configs_dir}'
+    # Execute the user file in its own namespace and keep only knob bindings.
+    import runpy
+    user_ns = runpy.run_path(path)
+    user_knobs = {}
+    for name, value in user_ns.items():
+        if not _is_knob(name, value):
+            continue
+        if name not in configs_name:
+            raise ValueError(f"The imported config '{name}' is not defined.")
+        user_knobs[name] = value
 
-    import importlib.util
-    spec = importlib.util.spec_from_file_location('user.config', config_filepath)
-    imported_configs = importlib.util.module_from_spec(spec)
-    sys.modules['user.config'] = imported_configs
-    spec.loader.exec_module(imported_configs)
-
-    # Keep only whitelisted config names in the imported module.
-    imported_configs_name = list(imported_configs.__dict__.keys())
-    for config_name in imported_configs_name:
-        value = getattr(imported_configs, config_name)
-        if isinstance(value, (ModuleType, FunctionType)) or config_name.startswith('__'):
-            delattr(imported_configs, config_name)
-        elif config_name not in configs_name:
-            raise ValueError(f"The imported config '{config_name}' is not defined.")
-
-    for name, val in overwritten_configs.items():
-        setattr(imported_configs, name, val)
-
-    config_module = sys.modules[__name__]
-    for config_name in imported_configs.__dict__:
-        setattr(config_module, config_name, getattr(imported_configs, config_name))
+    user_knobs.update(overrides)  # explicit CLI flags win
+    globals().update(user_knobs)
 
     global samples_sub_dir
-    samples_sub_dir = os.path.join(images_dir, '{}'.format(ID))
+    samples_sub_dir = os.path.join(images_dir, str(ID))
 
     define_ID_dependent_configs()
     validate_configs(interactive=interactive)

@@ -45,50 +45,49 @@ def print_monitored_vals(monitor_dict: OrderedDict):
 
 
 class ProgressBar:
-    """Carriage-return terminal progress bar with ETA (utils.py:360-421)."""
+    """In-place terminal progress bar with an ETA estimate.
+
+    Same external behavior as reference utils.py:360-421 (constructor
+    signature, step() with overrun assert, completion message + newline);
+    rendering is a single stateless function of (done, total, elapsed).
+    """
+
+    WIDTH = 20
 
     def __init__(self, n, update_msg='', complete_msg='Complete'):
-        self.width = 20
-        self.n = n
-        self.iter = 0
-        self.progress = 0.0
+        self.total = int(n)
+        self.done = 0
         self.update_msg = update_msg
         self.complete_msg = complete_msg
-        self.start_time = time.time()
-        self.print()
+        self._t0 = time.monotonic()
+        self._render(update_msg)
 
     def step(self, custom_update_msg=''):
-        self.iter += 1
-        assert self.iter <= self.n, \
+        assert self.done < self.total, \
             'The progress bar has exceeded the total number of iterations'
-        self.print(custom_update_msg)
-        if self.iter == self.n:
-            self.print(self.complete_msg)
-            print()
+        self.done += 1
+        self._render(custom_update_msg or self.update_msg)
+        if self.done == self.total:
+            self._render(self.complete_msg)
+            sys.stdout.write('\n')
 
-    def calculate_remaining_time(self):
-        time_elapsed = time.time() - self.start_time
-        time_remaining_sec = time_elapsed * (1 / self.progress - 1)
-        h = int(time_remaining_sec // 3600)
-        m = int((time_remaining_sec - 3600 * h) // 60)
-        s = int(time_remaining_sec - 60 * m - 3600 * h)
-        return [h, m, s]
+    def _eta(self):
+        if self.done == 0:
+            return '--:--:--'
+        elapsed = time.monotonic() - self._t0
+        left = elapsed * (self.total - self.done) / self.done
+        minutes, seconds = divmod(int(left), 60)
+        hours, minutes = divmod(minutes, 60)
+        return f'{hours:02d}:{minutes:02d}:{seconds:02d}'
 
-    def print(self, custom_update_msg=''):
-        self.progress = self.iter / self.n
-        progress_perc = 100 * self.progress
-        if self.iter > 0:
-            time_remaining_str = '{0:02d}:{1:02d}:{2:02d}'.format(
-                *self.calculate_remaining_time())
-        else:
-            time_remaining_str = '--:--:--'
-        n_complete = int(self.progress * self.width)
-        bar_tokens = n_complete * '*' + (self.width - n_complete) * ' '
-        prefix = custom_update_msg or self.update_msg or ''
-        bar_str = (f'{prefix}|{bar_tokens}| {progress_perc:3.0f}%, '
-                   f'Time remaining:{time_remaining_str}')
-        sys.stdout.write('\033[K')
-        print(bar_str, end='\r')
+    def _render(self, label):
+        frac = self.done / self.total
+        fill = int(frac * self.WIDTH)
+        bar = '*' * fill + ' ' * (self.WIDTH - fill)
+        sys.stdout.write('\033[K'   # clear the line, redraw in place
+                         f'{label}|{bar}| {100 * frac:3.0f}%, '
+                         f'Time remaining:{self._eta()}\r')
+        sys.stdout.flush()
 
 
 class MemoryLogger:
