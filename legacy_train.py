@@ -39,7 +39,8 @@ def make_wgan_epoch_runner(g_meta, d_meta, *, n_critic, batch_size, n_images,
                            latent_dim, drift_epsilon, sim_lambda, lr, beta1,
                            rmsprop, crop_size, out_size, translation, clamp=0.01):
     opt = make_optimizer(beta1, rmsprop)
-    n_batches = n_images // batch_size
+    n_full = n_images // batch_size
+    remainder = n_images % batch_size
     aug_spec = AugmentSpec(crop_size=crop_size, out_size=out_size,
                            translation=translation, augment=True)
 
@@ -48,10 +49,11 @@ def make_wgan_epoch_runner(g_meta, d_meta, *, n_critic, batch_size, n_images,
         raw, kb = inp
         images = augment_batch(raw, jax.random.fold_in(kb, 0), aug_spec)
 
+        b = raw.shape[0]  # static; = batch_size except the final partial batch
         sr = sf = d_loss_val = jnp.zeros(())
         for j in range(n_critic):
             kj = jax.random.fold_in(kb, 1 + j)
-            z = sample_latent_vec(kj, (batch_size, latent_dim))
+            z = sample_latent_vec(kj, (b, latent_dim))
 
             def d_loss_fn(d_params, d_bn):
                 real_scores, bn1 = discriminator_wgan(d_params, d_bn, images,
@@ -78,7 +80,7 @@ def make_wgan_epoch_runner(g_meta, d_meta, *, n_critic, batch_size, n_images,
                      'd_bn': new_bn}
 
         kg = jax.random.fold_in(kb, 101)
-        zg = sample_latent_vec(kg, (batch_size, latent_dim))
+        zg = sample_latent_vec(kg, (b, latent_dim))
 
         def g_loss_fn(g_params, g_bn):
             fake, new_gbn = generator_wgan(g_params, g_bn, zg, g_meta,
@@ -102,11 +104,19 @@ def make_wgan_epoch_runner(g_meta, d_meta, *, n_critic, batch_size, n_images,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_epoch(state, images_stack, key):
         perm = jax.random.permutation(jax.random.fold_in(key, 7), n_images)
-        batches = jnp.take(images_stack, perm, axis=0).reshape(
-            n_batches, batch_size, *images_stack.shape[1:])
-        bkeys = jax.random.split(jax.random.fold_in(key, 11), n_batches)
-        state, stats = jax.lax.scan(batch_body, state, (batches, bkeys))
-        return state, jnp.sum(stats, axis=0)  # reference keeps raw sums
+        shuffled = jnp.take(images_stack, perm, axis=0)
+        n_steps = n_full + (1 if remainder else 0)
+        bkeys = jax.random.split(jax.random.fold_in(key, 11), n_steps)
+        batches = shuffled[:n_full * batch_size].reshape(
+            n_full, batch_size, *images_stack.shape[1:])
+        state, stats = jax.lax.scan(batch_body, state,
+                                    (batches, bkeys[:n_full]))
+        total = jnp.sum(stats, axis=0)  # reference keeps raw sums
+        if remainder:  # drop_last=False: train the final partial batch too
+            state, rem_stats = batch_body(
+                state, (shuffled[n_full * batch_size:], bkeys[n_full]))
+            total = total + rem_stats
+        return state, total
 
     return run_epoch
 

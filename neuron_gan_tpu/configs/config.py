@@ -69,6 +69,10 @@ image_preprocessing = 'cpu'  # parity knob: 'cpu' = shuffled epochs (reference
                              # DataLoader default), 'device' = sequential order
                              # (reference DatasetIterator). Augmentation always
                              # runs on-device here either way.
+dataset_preload_limit_mb = 100  # processed stacks above this build into an
+                                # on-disk memmap cache instead of RAM
+                                # (reference NeuronDataset.py:74-82 preloads
+                                # only under 100 MB)
 
 # Architecture (reference: configs/config.py:58-63)
 latent_dim = 512

@@ -132,11 +132,23 @@ class NeuronDataset:
     current output resolution (progressive growth calls ``set_image_size``,
     reference NeuronDataset.py:149-164 — here it just records the target; the
     actual resize happens inside the jitted augmentation).
+
+    Large datasets: when the processed float32 stack would exceed
+    ``preload_limit_mb`` (the reference preloads only below 100 MB,
+    NeuronDataset.py:74-82, and otherwise re-reads per item from disk), the
+    stack is materialized once into an on-disk ``.npy`` cache and opened as a
+    read-only memmap — host RAM stays bounded during the build and training
+    reads pages on demand.  The cache is keyed on the file list, mtimes and
+    pad, so it survives across runs and rebuilds when the directory changes.
+
+    Images of unequal sizes are accepted: each is zero-padded (after the
+    reference's ``image_size // 4`` border) up to the largest square frame,
+    and the per-image background-noise fill then covers the extra border.
     """
 
     def __init__(self, directory: str, image_size: int = 512,
                  augmentations: bool = True, im_translation: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, preload_limit_mb: float = 100.0):
         if not os.path.exists(directory):
             raise ValueError('The dataset path {} does not exist.'.format(directory))
         self.dir = directory
@@ -144,41 +156,105 @@ class NeuronDataset:
         self.image_size_max = image_size
         self.augmentations = augmentations
         self.im_translation = im_translation
+        self.seed = seed
 
         self.filenames = sorted(
             os.path.join(directory, f) for f in os.listdir(directory)
-            if not f.startswith('.'))
+            if not f.startswith('.')
+            and os.path.isfile(os.path.join(directory, f)))
         if not self.filenames:
             raise ValueError(f'No images found in {directory}')
 
         pad = image_size // 4
-        rng = np.random.default_rng(seed)
+        n = len(self.filenames)
 
+        # Cheap header-only probe of every frame (PIL reads lazily).
         from PIL import Image
-        stacks = []
-        self.images_noise_mean = np.empty(len(self.filenames))
-        self.images_noise_std = np.empty(len(self.filenames))
-        for i, filename in enumerate(self.filenames):
+        sizes = []
+        for filename in self.filenames:
             with Image.open(filename) as img:
-                arr = np.array(img)
-            if arr.ndim == 3:  # collapse to single channel like the 1-color config
-                arr = arr[..., 0]
-            thresh = threshold_multiotsu(arr, classes=4)
-            is_noise = np.logical_and(arr > 0, arr < thresh[0])
-            noise_vals = arr[is_noise]
-            self.images_noise_mean[i] = noise_vals.mean() if noise_vals.size else 0.0
-            self.images_noise_std[i] = noise_vals.std() if noise_vals.size else 0.0
+                w, h = img.size
+            sizes.append((h, w))
+        frame = max(max(h, w) for h, w in sizes) + 2 * pad
+        self.padded_size = frame
 
-            padded = np.pad(arr, pad, mode='constant', constant_values=0)
-            filled = replace_zero_with_noise(padded, self.images_noise_mean[i],
-                                             self.images_noise_std[i], rng)
-            stacks.append(_to_unit_float(filled))
+        self.images_noise_mean = np.empty(n)
+        self.images_noise_std = np.empty(n)
 
-        shapes = {s.shape for s in stacks}
-        assert len(shapes) == 1, f'inconsistent image shapes: {shapes}'
-        # (N, P, P, 1) float32 in [0, 1] — the HBM-resident stack.
-        self.images = np.stack(stacks)[..., None].astype(np.float32)
-        self.padded_size = self.images.shape[1]
+        est_bytes = n * frame * frame * 4
+        self.preloaded = est_bytes <= preload_limit_mb * 2 ** 20
+        if self.preloaded:
+            self.images = np.empty((n, frame, frame, 1), np.float32)
+            self._fill_stack(self.images, pad, frame)
+        else:
+            self.images = self._open_or_build_cache(pad, frame)
+
+    # ------------------------------------------------------------- processing
+    def _process_one(self, index: int, pad: int, frame: int) -> np.ndarray:
+        """One image: decode, Otsu noise stats, pad, noise-fill, to [0,1]."""
+        from PIL import Image
+        with Image.open(self.filenames[index]) as img:
+            arr = np.array(img)
+        if arr.ndim == 3:  # collapse to single channel like the 1-color config
+            arr = arr[..., 0]
+        thresh = threshold_multiotsu(arr, classes=4)
+        is_noise = np.logical_and(arr > 0, arr < thresh[0])
+        noise_vals = arr[is_noise]
+        self.images_noise_mean[index] = noise_vals.mean() if noise_vals.size else 0.0
+        self.images_noise_std[index] = noise_vals.std() if noise_vals.size else 0.0
+
+        # reference border pad, then center in the common frame
+        h, w = arr.shape
+        top = (frame - h) // 2
+        left = (frame - w) // 2
+        padded = np.pad(arr, ((top, frame - h - top), (left, frame - w - left)),
+                        mode='constant', constant_values=0)
+        # per-image RNG stream: identical output whether the stack is built
+        # in RAM or streamed into the cache (and independent of order)
+        rng = np.random.default_rng([self.seed, index])
+        filled = replace_zero_with_noise(padded, self.images_noise_mean[index],
+                                         self.images_noise_std[index], rng)
+        return _to_unit_float(filled)[..., None]
+
+    def _fill_stack(self, out, pad: int, frame: int):
+        for i in range(len(self.filenames)):
+            out[i] = self._process_one(i, pad, frame)
+
+    # ---------------------------------------------------------------- caching
+    def _cache_key(self, pad: int, frame: int):
+        entries = [(os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
+                   for f in self.filenames]
+        return {'pad': pad, 'frame': frame, 'seed': self.seed,
+                'files': entries}
+
+    def _open_or_build_cache(self, pad: int, frame: int):
+        import json
+        cache_dir = os.path.join(self.dir, '.neuron_gan_cache')
+        os.makedirs(cache_dir, exist_ok=True)
+        stack_path = os.path.join(cache_dir, 'stack.npy')
+        meta_path = os.path.join(cache_dir, 'stack.json')
+        key = self._cache_key(pad, frame)
+
+        if os.path.exists(stack_path) and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if meta.get('key') == json.loads(json.dumps(key)):
+                self.images_noise_mean = np.array(meta['noise_mean'])
+                self.images_noise_std = np.array(meta['noise_std'])
+                return np.load(stack_path, mmap_mode='r')
+
+        # Build incrementally: one decoded image in RAM at a time.
+        out = np.lib.format.open_memmap(
+            stack_path, mode='w+', dtype=np.float32,
+            shape=(len(self.filenames), frame, frame, 1))
+        self._fill_stack(out, pad, frame)
+        out.flush()
+        del out
+        with open(meta_path, 'w') as fh:
+            json.dump({'key': key,
+                       'noise_mean': self.images_noise_mean.tolist(),
+                       'noise_std': self.images_noise_std.tolist()}, fh)
+        return np.load(stack_path, mmap_mode='r')
 
     def __len__(self):
         return len(self.filenames)

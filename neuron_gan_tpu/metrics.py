@@ -1,0 +1,117 @@
+"""Sample-quality metrics: multi-scale sliced Wasserstein distance (SWD).
+
+The PGGAN paper's evaluation metric (Karras et al. 2018, §5): compare the
+distributions of local image patches between a generated set and the real
+set, at every level of a Laplacian pyramid, via the sliced Wasserstein
+distance — project patch descriptors onto random unit directions, sort both
+sets, and average the L1 gap between the sorted projections.  The reference
+repo publishes no quantitative metric (SURVEY.md §6); this module exists so
+numerics/performance changes (e.g. conv matmul precision) can be judged on
+sample quality instead of eyeballing grids.
+
+Everything is a pure jitted function of (images, key): patch extraction is a
+strided reshape-gather, per-descriptor normalization matches the paper
+(mean/std over each patch's pixels), and the 1-D optimal transport reduces
+to sorting — O(n log n) on the VPU, no Hungarian machinery.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _downsample2(x):
+    """2x2 average pooling (NHWC) — the pyramid's coarsening step."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def _upsample2(x):
+    """Nearest x2 (cheap pyramid expand; adequate for band-pass residuals)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def laplacian_pyramid(x, n_levels):
+    """List of band-pass levels, finest first; the last entry is the
+    low-pass residual."""
+    levels = []
+    for _ in range(n_levels - 1):
+        down = _downsample2(x)
+        levels.append(x - _upsample2(down))
+        x = down
+    levels.append(x)
+    return levels
+
+
+def _extract_patches(x, key, patch_size, n_patches):
+    """Random patch descriptors from a level: (n_patches, patch^2 * C),
+    each normalized to zero mean / unit std over its own pixels."""
+    b, h, w, c = x.shape
+    k_img, k_y, k_x = jax.random.split(key, 3)
+    bi = jax.random.randint(k_img, (n_patches,), 0, b)
+    yi = jax.random.randint(k_y, (n_patches,), 0, h - patch_size + 1)
+    xi = jax.random.randint(k_x, (n_patches,), 0, w - patch_size + 1)
+
+    def take(bij, yij, xij):
+        return jax.lax.dynamic_slice(
+            x, (bij, yij, xij, 0), (1, patch_size, patch_size, c))[0]
+
+    patches = jax.vmap(take)(bi, yi, xi).reshape(n_patches, -1)
+    mu = patches.mean(axis=1, keepdims=True)
+    sd = patches.std(axis=1, keepdims=True)
+    return (patches - mu) / (sd + 1e-8)
+
+
+def sliced_wasserstein(a, b, key, n_projections=128):
+    """SWD between two equally-sized descriptor sets (n, d): mean over random
+    unit directions of the L1 distance between sorted 1-D projections."""
+    d = a.shape[1]
+    dirs = jax.random.normal(key, (d, n_projections), dtype=a.dtype)
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=0, keepdims=True) + 1e-12)
+    pa = jnp.sort(a @ dirs, axis=0)
+    pb = jnp.sort(b @ dirs, axis=0)
+    return jnp.mean(jnp.abs(pa - pb))
+
+
+@functools.partial(jax.jit, static_argnames=('patch_size', 'n_patches',
+                                             'n_projections', 'n_levels'))
+def _swd_levels(real, fake, key, patch_size, n_patches, n_projections,
+                n_levels):
+    pyr_r = laplacian_pyramid(real, n_levels)
+    pyr_f = laplacian_pyramid(fake, n_levels)
+    out = []
+    for lvl, (r, f) in enumerate(zip(pyr_r, pyr_f)):
+        k = jax.random.fold_in(key, lvl)
+        kr, kf, kp = jax.random.split(k, 3)
+        dr = _extract_patches(r, kr, patch_size, n_patches)
+        df = _extract_patches(f, kf, patch_size, n_patches)
+        out.append(sliced_wasserstein(dr, df, kp, n_projections))
+    return jnp.stack(out)
+
+
+def swd_multiscale(real, fake, key, *, patch_size=7, n_patches=2048,
+                   n_projections=128, n_levels=None, n_repeats=4):
+    """Multi-scale SWD between two NHWC image sets in [-1, 1].
+
+    Returns (per_level, mean): per-pyramid-level SWD values (finest band
+    first, low-pass last) and their mean — lower is better; 0 for identical
+    sets.  ``n_repeats`` averages over independent patch/projection draws to
+    tame estimator variance (the paper uses 16384 patches; small sets here
+    need repeats instead).
+    """
+    real = jnp.asarray(real, jnp.float32)
+    fake = jnp.asarray(fake, jnp.float32)
+    assert real.shape[1:] == fake.shape[1:], (real.shape, fake.shape)
+    res = int(real.shape[1])
+    if n_levels is None:
+        # pyramid down to 16x16, like the paper's coarsest 16x16 level
+        n_levels = max(1, int(np.log2(res)) - 3)
+    acc = None
+    for rep in range(n_repeats):
+        vals = _swd_levels(real, fake, jax.random.fold_in(key, rep),
+                           patch_size, n_patches, n_projections, n_levels)
+        acc = vals if acc is None else acc + vals
+    per_level = np.asarray(acc) / n_repeats
+    return per_level, float(per_level.mean())

@@ -165,11 +165,15 @@ class ChunkSpec:
     ema_beta: float = 0.0
 
     @property
-    def n_batches(self):
-        assert self.n_images % self.batch_size == 0, (
-            'on-device epoch scan needs batch_size to divide the dataset; '
-            f'got {self.n_images} % {self.batch_size}')
+    def n_full_batches(self):
         return self.n_images // self.batch_size
+
+    @property
+    def batch_remainder(self):
+        """Size of the final partial batch (reference DataLoader semantics:
+        drop_last=False keeps it, weighted by its true size —
+        reference train.py:149-155, :388-394)."""
+        return self.n_images % self.batch_size
 
 
 def _traced_lr(spec: ChunkSpec, epoch):
@@ -214,6 +218,7 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
 
     def batch_body(state, inp, alpha, lr, sim_lam):
         raw_batch, k_batch = inp
+        b = raw_batch.shape[0]  # static; = batch_size except the last partial batch
         g_apply = g_apply_with(alpha)
         d_apply = d_apply_with(alpha)
 
@@ -237,9 +242,9 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         sr = sf = gp = d_loss_val = jnp.zeros((), images.dtype)
         for j in range(spec.n_critic):
             kj = jax.random.fold_in(k_batch, 1 + j)
-            z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (B, spec.latent_dim))
-            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (B, spec.latent_dim))
-            eps = jax.random.uniform(jax.random.fold_in(kj, 2), (B,))
+            z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (b, spec.latent_dim))
+            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (b, spec.latent_dim))
+            eps = jax.random.uniform(jax.random.fold_in(kj, 2), (b,))
             (d_loss_val, (sr, sf, gp)), d_grads = jax.value_and_grad(
                 d_total_loss, has_aux=True)(d_params, z1, z2, eps)
             d_params, d_opt = _apply_update(d_params, d_opt, d_grads, opt, lr)
@@ -247,14 +252,14 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         if spec.n_critic == 0:
             # loss computed for monitoring only (train.py:369-372)
             kj = jax.random.fold_in(k_batch, 1)
-            z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (B, spec.latent_dim))
-            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (B, spec.latent_dim))
-            eps = jax.random.uniform(jax.random.fold_in(kj, 2), (B,))
+            z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (b, spec.latent_dim))
+            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (b, spec.latent_dim))
+            eps = jax.random.uniform(jax.random.fold_in(kj, 2), (b,))
             d_loss_val, (sr, sf, gp) = d_total_loss(d_params, z1, z2, eps)
 
         # Generator update
         kg = jax.random.fold_in(k_batch, 101)
-        zg = sample_latent_vec(kg, (B, spec.latent_dim))
+        zg = sample_latent_vec(kg, (b, spec.latent_dim))
 
         def g_total_loss(g_params_):
             loss, z = g_w_loss(g_apply, d_apply, g_params_, d_params, zg)
@@ -274,7 +279,9 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
             new_state['g_ema'] = jax.tree.map(
                 lambda e, p: beta * e + (1.0 - beta) * p,
                 state['g_ema'], g_params)
-        stats = jnp.stack([sr, sf, d_loss_val, g_loss_val, gp, g_sim]) * B
+        # weight per-batch stats by the true batch size (reference
+        # train.py:388-394 weights epoch stats by batch_size_curr)
+        stats = jnp.stack([sr, sf, d_loss_val, g_loss_val, gp, g_sim]) * b
         return new_state, stats
 
     def epoch_body(state, epoch, key, images_stack):
@@ -298,15 +305,24 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         else:
             perm = jnp.arange(spec.n_images)
         shuffled = jnp.take(images_stack, perm, axis=0)
-        batches = shuffled.reshape(spec.n_batches, spec.batch_size,
-                                   *images_stack.shape[1:])
-        batch_keys = jax.random.split(jax.random.fold_in(k_epoch, 11),
-                                      spec.n_batches)
+        n_full, rem = spec.n_full_batches, spec.batch_remainder
+        n_steps = n_full + (1 if rem else 0)
+        batch_keys = jax.random.split(jax.random.fold_in(k_epoch, 11), n_steps)
 
+        batches = shuffled[:n_full * spec.batch_size].reshape(
+            n_full, spec.batch_size, *images_stack.shape[1:])
         state, stats = jax.lax.scan(
             lambda s, inp: batch_body(s, inp, alpha, lr, lam),
-            state, (batches, batch_keys))
-        epoch_stats = jnp.sum(stats, axis=0) / spec.n_images
+            state, (batches, batch_keys[:n_full]))
+        stats_total = jnp.sum(stats, axis=0)
+        if rem:
+            # final partial batch (its own static shape; one extra executable
+            # region inside the same jitted chunk)
+            state, rem_stats = batch_body(
+                state, (shuffled[n_full * spec.batch_size:], batch_keys[n_full]),
+                alpha, lr, lam)
+            stats_total = stats_total + rem_stats
+        epoch_stats = stats_total / spec.n_images
         return state, epoch_stats
 
     def run(state, images_stack, key, first_epoch):

@@ -133,3 +133,50 @@ def test_augment_batch_shapes_range_and_determinism():
     assert a.min() >= -1.0 - 1e-6 and a.max() <= 1.0 + 1e-6
     np.testing.assert_array_equal(a, b)
     assert not np.allclose(a, c)  # different key -> different augmentation
+
+
+# ------------------------------------------------------------- lazy loading
+
+def test_lazy_memmap_cache_matches_ram_path(tiny_dataset_dir):
+    ram = NeuronDataset(tiny_dataset_dir, image_size=32, seed=3)
+    assert ram.preloaded
+    lazy = NeuronDataset(tiny_dataset_dir, image_size=32, seed=3,
+                         preload_limit_mb=0.0)
+    assert not lazy.preloaded
+    assert isinstance(lazy.images, np.memmap)
+    np.testing.assert_array_equal(np.asarray(lazy.images), ram.images)
+    np.testing.assert_array_equal(lazy.images_noise_mean, ram.images_noise_mean)
+    # second open hits the cache (and still matches)
+    again = NeuronDataset(tiny_dataset_dir, image_size=32, seed=3,
+                          preload_limit_mb=0.0)
+    np.testing.assert_array_equal(np.asarray(again.images), ram.images)
+    np.testing.assert_array_equal(again.images_noise_std, ram.images_noise_std)
+
+
+def test_lazy_cache_invalidates_on_change(tiny_dataset_dir, tmp_path):
+    import shutil
+    d = tmp_path / 'ds'
+    shutil.copytree(tiny_dataset_dir, d, ignore=shutil.ignore_patterns('.*'))
+    first = NeuronDataset(str(d), image_size=32, seed=3, preload_limit_mb=0.0)
+    n0 = len(first)
+    from PIL import Image
+    Image.fromarray(np.full((32, 32), 60, np.uint8), mode='L').save(d / 'zz.png')
+    second = NeuronDataset(str(d), image_size=32, seed=3, preload_limit_mb=0.0)
+    assert len(second) == n0 + 1
+    assert second.images.shape[0] == n0 + 1
+
+
+def test_nonuniform_image_sizes_pad_to_common_frame(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(5)
+    d = tmp_path / 'mixed'
+    d.mkdir()
+    for i, side in enumerate([24, 32, 28]):
+        img = rng.normal(30, 6, (side, side)).clip(0, 255)
+        img[4:12, 4:12] = 200
+        Image.fromarray(img.astype(np.uint8), mode='L').save(d / f'i{i}.png')
+    ds = NeuronDataset(str(d), image_size=32)
+    # frame = max side (32) + 2 * (32 // 4)
+    assert ds.images.shape == (3, 48, 48, 1)
+    # the extra border is noise-filled, not zero
+    assert (ds.images[0] == 0).mean() < 0.01

@@ -228,3 +228,21 @@ def test_graft_entry_single_chip():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_train_cli_partial_batches(tmp_path, monkeypatch, tiny_dataset_dir):
+    # batch_size 3 on a 4-image dataset: every epoch ends with a partial
+    # batch (reference drop_last=False semantics, train.py:149-155)
+    out_root = tmp_path / 'run_pb'
+    out_root.mkdir()
+    cfg = tmp_path / 'cfg_pb.py'
+    _write_config(cfg, tiny_dataset_dir, out_root,
+                  extra="ID = 'pb1'\nbatch_size = 3\n")
+    _run_cli(monkeypatch, 'train.py', ['--configs', str(cfg)])
+    weights = out_root / 'weights' / 'GenDisc_pb1.npz'
+    assert weights.exists()
+    from neuron_gan_tpu.checkpoint import load_pytree_npz
+    payload, meta = load_pytree_npz(str(weights))
+    assert meta['epoch'] == 12
+    assert np.isfinite(payload['series']['Loss_real']).all()

@@ -153,3 +153,46 @@ def test_adam_matches_torch_two_steps():
         topt.step()
     np.testing.assert_allclose(np.asarray(jw), wt.detach().numpy(),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_partial_batch_epoch(images_stack):
+    # 4 images, batch_size 3 -> one full batch + a partial batch of 1
+    # (reference DataLoader drop_last=False keeps the remainder,
+    # train.py:149-155); stats are weighted by true batch sizes.
+    state = make_state()
+    spec = make_spec(batch_size=3)
+    run = make_epoch_runner(CFG, spec, n_epochs=2, donate=False)
+    new_state, stats = run(state, images_stack, jax.random.PRNGKey(5), 1)
+    stats = np.asarray(stats)
+    assert stats.shape == (2, len(STAT_NAMES))
+    assert np.isfinite(stats).all()
+    w0 = np.asarray(state['g_params']['stem']['conv']['w'])
+    w1 = np.asarray(new_state['g_params']['stem']['conv']['w'])
+    assert not np.allclose(w0, w1)
+
+
+def test_batch_size_larger_than_dataset(images_stack):
+    # batch_size 8 > 4 images: a single partial batch per epoch
+    state = make_state()
+    spec = make_spec(batch_size=8)
+    run = make_epoch_runner(CFG, spec, n_epochs=1, donate=False)
+    _, stats = run(state, images_stack, jax.random.PRNGKey(6), 1)
+    assert np.isfinite(np.asarray(stats)).all()
+
+
+def test_partial_batch_stat_weighting(images_stack):
+    # with n_critic=0 and shuffle off, scores are pure functions of the
+    # (deterministic) augmented images; epoch score_real must equal the
+    # size-weighted mean over the 3+1 split = plain mean over all 4 images
+    state = make_state()
+    common = dict(n_critic=0, shuffle=False, augment=False, translation=0.0,
+                  gp_lambda=0.0, drift_epsilon=0.0)
+    run_whole = make_epoch_runner(CFG, make_spec(batch_size=4, **common),
+                                  n_epochs=1, donate=False)
+    run_split = make_epoch_runner(CFG, make_spec(batch_size=3, **common),
+                                  n_epochs=1, donate=False)
+    _, s_whole = run_whole(state, images_stack, jax.random.PRNGKey(7), 1)
+    _, s_split = run_split(state, images_stack, jax.random.PRNGKey(7), 1)
+    i = STAT_NAMES.index('score_real')
+    np.testing.assert_allclose(np.asarray(s_whole)[0, i],
+                               np.asarray(s_split)[0, i], rtol=1e-5)

@@ -146,7 +146,8 @@ dataset = NeuronDataset(directory=config.dataset_dir,
                         image_size=config.image_size,
                         augmentations=True,
                         im_translation=config.translation,
-                        seed=config.seed)
+                        seed=config.seed,
+                        preload_limit_mb=config.dataset_preload_limit_mb)
 N_real_images = len(dataset)
 
 mesh = make_mesh(config.mesh_shape)
