@@ -26,7 +26,13 @@ import numpy as np
 TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
-def bench_tpu(n_epochs_chunk=10):
+def bench_tpu(n_epochs_chunk=10, phase=None, fading=False):
+    """Train-step throughput at one growth phase (default: top, 512x512).
+
+    ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
+    table (a full growth run spends 5/6 of its transitions below the top
+    resolution; reference monitor hook train.py:404-407).
+    """
     import jax
     import jax.numpy as jnp
     import neuron_gan_tpu
@@ -42,10 +48,12 @@ def bench_tpu(n_epochs_chunk=10):
         latent_dim=64, image_size_init=16, n_colors=1,
         packed_min_res=64,  # default training configuration (exact transform)
     )
+    if phase is None:
+        phase = cfg.n_phases - 1
     batch = 8
     n_images = 16
     spec = ChunkSpec(
-        phase=cfg.n_phases - 1, fading=False, n_critic=1, batch_size=batch,
+        phase=phase, fading=fading, n_critic=1, batch_size=batch,
         n_images=n_images, shuffle=True, crop_size=512, translation=0.05,
         augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
         sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
@@ -113,11 +121,12 @@ def bench_eval(n_images=20, n_iters=20):
     return n_images * n_iters / dt
 
 
-def bench_torch_reference(n_steps=2):
+def bench_torch_reference(n_steps=2, phase=5):
     """Equivalent measurement of the torch reference's hot loop on CPU:
     per batch = 1 critic step (D loss + GP double-backward + Adam) + 1 G step,
     on the same architecture/sizes.  Uses plain torch modules implementing
-    the documented reference semantics."""
+    the documented reference semantics.  ``phase`` truncates the growth
+    state (resolution 16 * 2**phase), mirroring the reference mid-growth."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
@@ -125,9 +134,10 @@ def bench_torch_reference(n_steps=2):
 
     torch.set_num_threads(max(1, __import__('os').cpu_count()))
 
-    feats_g = [128, 64, 32, 32, 16, 16]
-    feats_d = [16, 16, 32, 32, 64, 128]
+    feats_g = [128, 64, 32, 32, 16, 16][:phase + 1]
+    feats_d = [16, 16, 32, 32, 64, 128][-(phase + 1):]
     latent, init, batch = 64, 16, 8
+    res = init * 2 ** phase
     gain = torch.nn.init.calculate_gain('leaky_relu', 0.2)
 
     class EqConv(nn.Conv2d):
@@ -185,7 +195,7 @@ def bench_torch_reference(n_steps=2):
     g, d = G(), D()
     opt_g = torch.optim.Adam(g.parameters(), lr=1e-4, betas=(0.5, 0.999))
     opt_d = torch.optim.Adam(d.parameters(), lr=1e-4, betas=(0.5, 0.999))
-    images = torch.randn(batch, 1, 512, 512)
+    images = torch.randn(batch, 1, res, res)
 
     def one_step():
         # critic step with GP (double backward)
@@ -212,10 +222,46 @@ def bench_torch_reference(n_steps=2):
     return n_steps / (time.perf_counter() - t0)
 
 
+def bench_all_phases():
+    """Per-phase throughput table (SURVEY §6): steps/s for 16..512, steady
+    and fading."""
+    rows = []
+    for phase in range(6):
+        res = 16 * 2 ** phase
+        for fading in ((False,) if phase == 0 else (False, True)):
+            sps = bench_tpu(phase=phase, fading=fading)
+            rows.append({'resolution': res, 'fading': fading,
+                         'steps_per_sec': round(sps, 3)})
+            print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
 if __name__ == '__main__':
     if '--measure-torch' in sys.argv:
-        sps = bench_torch_reference()
-        print(json.dumps({'torch_ref_steps_per_sec': sps}))
+        if '--phase' in sys.argv:
+            phase = int(sys.argv[sys.argv.index('--phase') + 1])
+            sps = bench_torch_reference(n_steps=max(2, 2 ** (6 - phase)),
+                                        phase=phase)
+            print(json.dumps({'torch_ref_steps_per_sec': sps,
+                              'resolution': 16 * 2 ** phase}))
+        else:
+            sps = bench_torch_reference()
+            print(json.dumps({'torch_ref_steps_per_sec': sps}))
+        sys.exit(0)
+    if '--all-phases' in sys.argv:
+        bench_all_phases()
+        sys.exit(0)
+    if '--phase' in sys.argv:
+        i = sys.argv.index('--phase')
+        phase = int(sys.argv[i + 1])
+        fading = '--fading' in sys.argv
+        sps = bench_tpu(phase=phase, fading=fading)
+        print(json.dumps({
+            'metric': f'wgan_gp_train_steps_per_sec_{16 * 2 ** phase}'
+                      + ('_fading' if fading else ''),
+            'value': round(sps, 3),
+            'unit': 'steps/sec (G+D, batch 8, incl. on-device aug)',
+            'vs_baseline': None}))
         sys.exit(0)
     if '--metric=eval' in sys.argv or '--eval' in sys.argv:
         ips = bench_eval()

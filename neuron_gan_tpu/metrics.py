@@ -58,10 +58,13 @@ def _extract_patches(x, key, patch_size, n_patches):
         return jax.lax.dynamic_slice(
             x, (bij, yij, xij, 0), (1, patch_size, patch_size, c))[0]
 
-    patches = jax.vmap(take)(bi, yi, xi).reshape(n_patches, -1)
-    mu = patches.mean(axis=1, keepdims=True)
-    sd = patches.std(axis=1, keepdims=True)
-    return (patches - mu) / (sd + 1e-8)
+    patches = jax.vmap(take)(bi, yi, xi)  # (n, p, p, c)
+    # normalize over the whole descriptor set per channel (Karras et al.'s
+    # finalize_descriptors): preserves the relative structure of individual
+    # patches, removes only global brightness/contrast of the set
+    mu = patches.mean(axis=(0, 1, 2), keepdims=True)
+    sd = patches.std(axis=(0, 1, 2), keepdims=True)
+    return ((patches - mu) / (sd + 1e-8)).reshape(n_patches, -1)
 
 
 def sliced_wasserstein(a, b, key, n_projections=128):
