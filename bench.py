@@ -47,6 +47,9 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False):
         n_dis_features=(16, 16, 32, 32, 64, 128),
         latent_dim=64, image_size_init=16, n_colors=1,
         packed_min_res=64,  # default training configuration (exact transform)
+        precision=None,     # = config.matmul_precision 'default' (bf16 conv
+                            # passes, f32 accumulation) — the shipping
+                            # training default; quality A/B in BASELINE.md
     )
     if phase is None:
         phase = cfg.n_phases - 1

@@ -85,7 +85,14 @@ N_dis_features = [16, 16, 32, 32, 64, 128]
 # TPU execution (new; no reference counterpart)
 mesh_shape = None            # e.g. {'data': 8} or {'data': 4, 'model': 2}; None = single chip
 compute_dtype = 'float32'    # 'float32' or 'bfloat16' activation dtype for model compute
-matmul_precision = 'highest' # jax matmul precision for convs ('default'|'high'|'highest')
+matmul_precision = 'default' # jax matmul precision for convs:
+                             # 'default' = one bf16 pass per conv with f32
+                             # accumulation (fastest; promoted after a
+                             # 2-seed 2500-epoch 16->128 growth A/B showed
+                             # no SWD quality difference vs 'highest' —
+                             # BASELINE.md "precision A/B"), 'high' = 3
+                             # bf16 passes (~1e-6 error), 'highest' = true
+                             # f32 (bit-parity with the torch reference)
 use_pallas = False           # Enable Pallas fused kernels where available
 packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
                              # >= this resolution run 2x2-packed (exact
