@@ -123,6 +123,82 @@ def _spec_to_tree(spec, leaf_iter):
     return next(leaf_iter)
 
 
+def merge_state_tolerant(target, loaded, path='state'):
+    """Tolerant weight restore — the reference's ``load_state_dict(strict=False)``
+    analog (reference utils.py:213-218): every loaded leaf whose path exists in
+    ``target`` with a matching shape replaces the target's leaf; everything
+    else keeps the target's (freshly initialized) value and is reported.
+
+    Returns ``(merged, report)`` where report is a dict with keys
+    ``missing`` (paths present in target but absent from the loaded tree),
+    ``unexpected`` (paths only in the loaded tree) and ``mismatched``
+    (paths whose shapes differ, kept at the target value).  When the two
+    trees are structurally identical the merged tree is exactly the loaded
+    one (bit-for-bit — leaves are not copied).
+    """
+    report = {'missing': [], 'unexpected': [], 'mismatched': []}
+
+    def is_leaf(x):
+        return not isinstance(x, (dict, list, tuple))
+
+    def rec(t, l, p):
+        if is_leaf(t) or is_leaf(l):
+            if is_leaf(t) != is_leaf(l):
+                report['mismatched'].append(
+                    (p, 'leaf/subtree kind differs'))
+                return t
+            ts = np.shape(t)
+            ls = np.shape(l)
+            if ts != ls:
+                report['mismatched'].append((p, f'{ls} vs {ts}'))
+                return t
+            return l
+        if isinstance(t, dict):
+            if not isinstance(l, dict):
+                report['mismatched'].append((p, 'dict vs sequence'))
+                return t
+            out = {}
+            for k in t:
+                if k in l:
+                    out[k] = rec(t[k], l[k], f'{p}.{k}')
+                else:
+                    report['missing'].append(f'{p}.{k}')
+                    out[k] = t[k]
+            for k in l:
+                if k not in t:
+                    report['unexpected'].append(f'{p}.{k}')
+            return out
+        # list / tuple / namedtuple: positional merge over the shared prefix
+        if not isinstance(l, (list, tuple)):
+            report['mismatched'].append((p, 'sequence vs dict'))
+            return t
+        n = min(len(t), len(l))
+        children = [rec(t[i], l[i], f'{p}[{i}]') for i in range(n)]
+        for i in range(n, len(t)):
+            report['missing'].append(f'{p}[{i}]')
+            children.append(t[i])
+        for i in range(n, len(l)):
+            report['unexpected'].append(f'{p}[{i}]')
+        if isinstance(t, tuple) and hasattr(t, '_fields'):
+            return type(t)(*children)
+        return type(t)(children)
+
+    merged = rec(target, loaded, path)
+    return merged, report
+
+
+def report_merge(report, where='checkpoint'):
+    """Print a torch-style strict=False summary of what was not restored."""
+    n_issues = sum(len(v) for v in report.values())
+    if n_issues == 0:
+        return
+    for kind in ('missing', 'unexpected', 'mismatched'):
+        for item in report[kind]:
+            print(f'[{where}] {kind}: {item}')
+    print(f'[{where}] tolerant load: {n_issues} entr{"y" if n_issues == 1 else "ies"} '
+          'not restored (kept at their initialized values).')
+
+
 class Checkpointer:
     """Rolling + periodic-immutable checkpoints (reference utils.py:142-223).
 

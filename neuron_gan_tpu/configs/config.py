@@ -98,6 +98,13 @@ packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
                              # >= this resolution run 2x2-packed (exact
                              # transform, 2.4x step speedup at 512^2 — see
                              # ops/packed.py). None disables.
+fast_augment = False         # Run the augmentation warp at phase resolution
+                             # (resize moved to the front of the pipeline)
+                             # instead of the reference's full-padded-res
+                             # order (NeuronDataset.py:113-126).  Inexact
+                             # vs the reference's augmentation distribution;
+                             # large speedup for phases below image_size
+                             # (the warp gather shrinks quadratically).
 ema_beta = 0.0               # EMA decay for a shadow generator (0 disables; stretch goal)
 donate_state = True          # Donate train-state buffers to jit (in-place update on device)
 profile_dir = ''             # If set, capture a jax.profiler trace of one

@@ -38,6 +38,14 @@ class AugmentSpec:
     translation: float = 0.0  # RandomAffine translate fraction
     augment: bool = True      # False = crop+renorm+resize only
     degrees: float = 180.0
+    # fast=True swaps the resize to the FRONT of the pipeline: the padded
+    # stack is antialias-resized to phase scale first and the affine warp /
+    # jitter / crop run at that scale, shrinking the (gather-bound) warp by
+    # (crop_size/out_size)^2.  Geometrically equivalent but not bit-identical
+    # to the reference's order (warp at full resolution, then resize —
+    # NeuronDataset.py:113-126); gated by config.fast_augment after the SWD
+    # quality A/B (BASELINE.md).  No-op when out_size == crop_size.
+    fast: bool = False
 
 
 def _affine_warp_nearest(img, angle_deg, tx, ty, flip):
@@ -122,6 +130,15 @@ def _augment_one(img, key, spec: AugmentSpec):
 @functools.partial(jax.jit, static_argnames=('spec',))
 def augment_batch(images, key, spec: AugmentSpec):
     """images: (B, P, P, C) in [0,1] -> (B, out, out, C) in [-1,1]."""
+    if spec.fast and spec.out_size < spec.crop_size:
+        # Fast path: move the downscale to the front (two small einsums),
+        # then warp/jitter/crop at phase scale.  The padded frame keeps the
+        # same proportion (p_small/out == p/crop), so the center-crop offset
+        # and the fractional translation range map exactly.
+        p = images.shape[1]
+        p_small = int(round(p * spec.out_size / spec.crop_size))
+        images = resize_antialias(images, p_small)
+        spec = dataclasses.replace(spec, crop_size=spec.out_size, fast=False)
     keys = jax.random.split(key, images.shape[0])
     out = jax.vmap(lambda im, k: _augment_one(im, k, spec))(images, keys)
     if spec.out_size < spec.crop_size:

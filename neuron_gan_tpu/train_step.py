@@ -163,6 +163,9 @@ class ChunkSpec:
     # EMA decay for a shadow generator (stretch feature, BASELINE.json
     # config 5; 0 disables — the train state then has no 'g_ema' entry)
     ema_beta: float = 0.0
+    # Run the augmentation warp at phase scale (AugmentSpec.fast) —
+    # config.fast_augment
+    fast_augment: bool = False
 
     @property
     def n_full_batches(self):
@@ -196,7 +199,8 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
     """Build the jitted chunk runner for (cfg, spec, n_epochs)."""
     out_size = cfg.resolution(spec.phase)
     aug_spec = AugmentSpec(crop_size=spec.crop_size, out_size=out_size,
-                           translation=spec.translation, augment=spec.augment)
+                           translation=spec.translation, augment=spec.augment,
+                           fast=spec.fast_augment)
     opt = make_optimizer(spec.beta1, spec.rmsprop)
     B = spec.batch_size
 

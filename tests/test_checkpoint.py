@@ -251,3 +251,78 @@ def test_pth_reader_noncontiguous_tensor(tmp_path):
     torch.save({'w': w}, path)
     got = load_pth(path)
     np.testing.assert_allclose(got['w'], w.numpy(), rtol=0, atol=0)
+
+
+# --------------------------------------------------------------------------
+# Tolerant restore (reference utils.py:213-218 loads strict=False, so an
+# architecture tweak still resumes)
+# --------------------------------------------------------------------------
+
+def test_merge_tolerant_identical_is_bit_exact():
+    from neuron_gan_tpu.checkpoint import merge_state_tolerant
+    g, d = make_params()
+    target = {'g_params': g, 'd_params': d}
+    loaded = jax.tree.map(lambda x: np.array(x), target)
+    merged, report = merge_state_tolerant(target, loaded)
+    assert all(len(v) == 0 for v in report.values())
+    # merged leaves ARE the loaded leaves (no copies, no target leakage)
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(loaded)):
+        assert a is b
+
+
+def test_merge_tolerant_extra_layer():
+    """Grown architecture (one more block): shared prefix restores, the new
+    block keeps its fresh init and is reported missing."""
+    from neuron_gan_tpu.checkpoint import merge_state_tolerant
+    big = PGConfig(n_gen_features=(32, 16, 8, 8), n_dis_features=(8, 8, 16, 32),
+                   latent_dim=24, image_size_init=4, precision='highest')
+    kg = jax.random.PRNGKey(3)
+    target = {'g_params': jax.tree.map(np.asarray, init_generator_pg(kg, big))}
+    g_small, _ = make_params()
+    loaded = {'g_params': g_small}
+    merged, report = merge_state_tolerant(target, loaded)
+    # shared blocks restored
+    np.testing.assert_array_equal(merged['g_params']['blocks'][0]['conv1']['w'],
+                                  g_small['blocks'][0]['conv1']['w'])
+    np.testing.assert_array_equal(merged['g_params']['stem']['conv']['w'],
+                                  g_small['stem']['conv']['w'])
+    # the extra block kept its init and is reported
+    np.testing.assert_array_equal(merged['g_params']['blocks'][2]['conv1']['w'],
+                                  target['g_params']['blocks'][2]['conv1']['w'])
+    assert any('blocks[2]' in p for p in report['missing'])
+    assert any('to_rgb[3]' in p for p in report['missing'])
+
+
+def test_merge_tolerant_shape_mismatch_kept_and_reported():
+    from neuron_gan_tpu.checkpoint import merge_state_tolerant
+    target = {'w': np.zeros((3, 3, 8, 16), np.float32),
+              'b': np.zeros(4, np.float32)}
+    loaded = {'w': np.ones((3, 3, 4, 16), np.float32),
+              'b': np.ones(4, np.float32)}
+    merged, report = merge_state_tolerant(target, loaded)
+    np.testing.assert_array_equal(merged['w'], target['w'])  # kept
+    np.testing.assert_array_equal(merged['b'], loaded['b'])  # restored
+    assert len(report['mismatched']) == 1 and 'w' in report['mismatched'][0][0]
+
+
+def test_merge_tolerant_namedtuple_optimizer_state():
+    from neuron_gan_tpu.checkpoint import merge_state_tolerant
+    import optax
+    g, _ = make_params()
+    opt = optax.scale_by_adam(b1=0.5)
+    target = {'g_opt': opt.init(jax.tree.map(jnp.asarray, g))}
+    loaded = jax.tree.map(lambda x: np.asarray(x) + 1, target)
+    merged, report = merge_state_tolerant(target, loaded)
+    assert all(len(v) == 0 for v in report.values())
+    assert type(merged['g_opt']).__name__ == type(target['g_opt']).__name__
+    np.testing.assert_array_equal(
+        np.asarray(merged['g_opt'].count), np.asarray(loaded['g_opt'].count))
+
+
+def test_merge_tolerant_unexpected_keys_reported():
+    from neuron_gan_tpu.checkpoint import merge_state_tolerant
+    target = {'a': np.zeros(2)}
+    loaded = {'a': np.ones(2), 'stale': np.ones(3)}
+    merged, report = merge_state_tolerant(target, loaded)
+    assert 'stale' not in merged
+    assert any('stale' in p for p in report['unexpected'])

@@ -180,3 +180,71 @@ def test_nonuniform_image_sizes_pad_to_common_frame(tmp_path):
     assert ds.images.shape == (3, 48, 48, 1)
     # the extra border is noise-filled, not zero
     assert (ds.images[0] == 0).mean() < 0.01
+
+
+# --------------------------------------------------------------------------
+# fast_augment (warp at phase scale; config.fast_augment)
+# --------------------------------------------------------------------------
+
+def _smooth_stack(b=4, p=24, c=1, seed=0):
+    """Smooth in-range images (Gaussian blobs) so resample order barely matters."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:p, 0:p].astype(np.float64)
+    imgs = []
+    for _ in range(b):
+        cy, cx = rng.uniform(p * 0.3, p * 0.7, 2)
+        s = rng.uniform(p * 0.15, p * 0.3)
+        imgs.append(0.1 + 0.5 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)))
+    return np.stack(imgs)[..., None].astype(np.float32)
+
+
+def test_fast_augment_noop_at_full_resolution():
+    """fast=True must be bit-identical to the exact path when out == crop."""
+    x = _smooth_stack(b=2, p=24)
+    exact = AugmentSpec(crop_size=16, out_size=16, translation=0.1, augment=True)
+    fast = AugmentSpec(crop_size=16, out_size=16, translation=0.1, augment=True,
+                       fast=True)
+    k = jax.random.PRNGKey(5)
+    np.testing.assert_array_equal(np.asarray(augment_batch(jnp.asarray(x), k, exact)),
+                                  np.asarray(augment_batch(jnp.asarray(x), k, fast)))
+
+
+def test_fast_augment_shapes_range_determinism():
+    x = _smooth_stack(b=3, p=24)
+    spec = AugmentSpec(crop_size=16, out_size=8, translation=0.05, augment=True,
+                       fast=True)
+    a = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(1), spec))
+    b = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(1), spec))
+    c = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(2), spec))
+    assert a.shape == (3, 8, 8, 1)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+    assert a.min() >= -1.0 - 1e-6 and a.max() <= 1.0 + 1e-6
+
+
+def test_fast_augment_close_to_exact_on_smooth_images():
+    """Same key => same draws (angle/translate/flip/jitter); on smooth images
+    warp-then-resize and resize-then-warp must agree closely."""
+    x = _smooth_stack(b=4, p=48, seed=3)
+    k = jax.random.PRNGKey(11)
+    exact = AugmentSpec(crop_size=32, out_size=8, translation=0.05, augment=True)
+    fast = AugmentSpec(crop_size=32, out_size=8, translation=0.05, augment=True,
+                       fast=True)
+    a = np.asarray(augment_batch(jnp.asarray(x), k, exact))
+    b = np.asarray(augment_batch(jnp.asarray(x), k, fast))
+    assert np.abs(a - b).mean() < 0.1
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9
+
+
+def test_fast_augment_no_augment_path():
+    """augment=False + fast: resize-first then crop == crop then resize for
+    the center crop (same proportional frame)."""
+    x = _smooth_stack(b=2, p=24)
+    exact = AugmentSpec(crop_size=16, out_size=8, translation=0.0, augment=False)
+    fast = AugmentSpec(crop_size=16, out_size=8, translation=0.0, augment=False,
+                       fast=True)
+    k = jax.random.PRNGKey(0)
+    a = np.asarray(augment_batch(jnp.asarray(x), k, exact))
+    b = np.asarray(augment_batch(jnp.asarray(x), k, fast))
+    assert a.shape == b.shape == (2, 8, 8, 1)
+    assert np.abs(a - b).mean() < 0.03

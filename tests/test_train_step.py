@@ -196,3 +196,17 @@ def test_partial_batch_stat_weighting(images_stack):
     i = STAT_NAMES.index('score_real')
     np.testing.assert_allclose(np.asarray(s_whole)[0, i],
                                np.asarray(s_split)[0, i], rtol=1e-5)
+
+
+def test_epoch_runner_fast_augment(images_stack):
+    """fast_augment=True compiles and trains at a sub-crop phase (the warp
+    runs at phase scale; ChunkSpec wiring for config.fast_augment)."""
+    state = make_state()
+    spec = make_spec(phase=0, fast_augment=True)  # res 4 < crop 16
+    run = make_epoch_runner(CFG, spec, n_epochs=2, donate=False)
+    new_state, stats = run(state, images_stack, jax.random.PRNGKey(4), 1)
+    stats = np.asarray(stats)
+    assert np.isfinite(stats).all()
+    w0 = np.asarray(state['g_params']['stem']['conv']['w'])
+    w1 = np.asarray(new_state['g_params']['stem']['conv']['w'])
+    assert not np.allclose(w0, w1)

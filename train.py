@@ -104,7 +104,8 @@ import neuron_gan_tpu
 neuron_gan_tpu.enable_compilation_cache()
 
 from neuron_gan_tpu.checkpoint import (
-    Checkpointer, import_reference_checkpoint, load_pytree_npz)
+    Checkpointer, import_reference_checkpoint, load_pytree_npz,
+    merge_state_tolerant, report_merge)
 from neuron_gan_tpu.data import NeuronDataset
 from neuron_gan_tpu.models import (
     PGConfig, GrowthState, init_generator_pg, init_discriminator_pg,
@@ -198,7 +199,16 @@ checkpoint = Checkpointer(train_state_filename, n_epochs=config.N_epochs,
 
 if config.resume and os.path.exists(train_state_filename):
     tree, meta = checkpoint.load_state()
-    state = tree
+    # Tolerant restore (reference loads weights strict=False,
+    # utils.py:213-218): leaves matching the fresh state's structure+shape
+    # are restored; anything else keeps its initialized value, reported.
+    state, merge_report = merge_state_tolerant(state, tree)
+    report_merge(merge_report, where='resume')
+    # A checkpoint written without EMA must seed the shadow from the
+    # *restored* generator, not the fresh init the merge kept.
+    if config.ema_beta > 0 and any(p.startswith('state.g_ema')
+                                   for p in merge_report['missing']):
+        state['g_ema'] = jax.tree.map(jnp.asarray, state['g_params'])
     growth = GrowthState(model_cfg)
     if meta['image_size'] > model_cfg.image_size_init or meta['alpha'] < 1.0:
         growth.set_resolution(int(meta['image_size']), float(meta['alpha']))
@@ -214,7 +224,9 @@ elif config.weights_init:
         print('Loaded weights from {}'.format(wpath))
     else:
         tree, meta = load_pytree_npz(wpath)
-        state = tree if 'g_params' in tree else tree['state']
+        loaded = tree if 'g_params' in tree else tree['state']
+        state, merge_report = merge_state_tolerant(state, loaded)
+        report_merge(merge_report, where='weights_init')
         if meta and 'image_size' in meta:
             growth = GrowthState(model_cfg)
             if meta['image_size'] > model_cfg.image_size_init or meta['alpha'] < 1.0:
@@ -285,6 +297,7 @@ def make_spec(e, n_critic):
         shuffle=(config.image_preprocessing != 'device'),
         crop_size=dataset.image_size_max, translation=config.translation,
         augment=dataset.augmentations,
+        fast_augment=bool(config.fast_augment),
         gp_lambda=float(config.grad_pen_lambda),
         drift_epsilon=float(config.drift_epsilon),
         sim_lambda0=float(config.sim_loss_lambda),
