@@ -26,7 +26,7 @@ import numpy as np
 TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
-def bench_tpu(n_epochs_chunk=10, phase=None, fading=False):
+def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=False):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -61,7 +61,7 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False):
         augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
         sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
         lr_gamma=0.9998157, lr_boundary=0, lr_cap=12500, alpha_start=0,
-        alpha_step=1e-4, latent_dim=64)
+        alpha_step=1e-4, latent_dim=64, fast_augment=fast_augment)
 
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     g = init_generator_pg(kg, cfg)
@@ -225,15 +225,17 @@ def bench_torch_reference(n_steps=2, phase=5):
     return n_steps / (time.perf_counter() - t0)
 
 
-def bench_all_phases():
+def bench_all_phases(fast_augment=False):
     """Per-phase throughput table (SURVEY §6): steps/s for 16..512, steady
     and fading."""
     rows = []
     for phase in range(6):
         res = 16 * 2 ** phase
         for fading in ((False,) if phase == 0 else (False, True)):
-            sps = bench_tpu(phase=phase, fading=fading)
+            sps = bench_tpu(phase=phase, fading=fading,
+                            fast_augment=fast_augment)
             rows.append({'resolution': res, 'fading': fading,
+                         'fast_augment': fast_augment,
                          'steps_per_sec': round(sps, 3)})
             print(json.dumps(rows[-1]), flush=True)
     return rows
@@ -252,13 +254,14 @@ if __name__ == '__main__':
             print(json.dumps({'torch_ref_steps_per_sec': sps}))
         sys.exit(0)
     if '--all-phases' in sys.argv:
-        bench_all_phases()
+        bench_all_phases(fast_augment='--fast-augment' in sys.argv)
         sys.exit(0)
     if '--phase' in sys.argv:
         i = sys.argv.index('--phase')
         phase = int(sys.argv[i + 1])
         fading = '--fading' in sys.argv
-        sps = bench_tpu(phase=phase, fading=fading)
+        sps = bench_tpu(phase=phase, fading=fading,
+                        fast_augment='--fast-augment' in sys.argv)
         print(json.dumps({
             'metric': f'wgan_gp_train_steps_per_sec_{16 * 2 ** phase}'
                       + ('_fading' if fading else ''),

@@ -514,29 +514,25 @@ def save_reference_checkpoint(path, g_params, d_params, cfg: PGConfig,
     """Write a checkpoint in the reference's torch ``.pth`` format so weights
     trained here can be loaded by the reference's train.py/eval.py.
 
-    Requires torch (the one consumer of this format); raises otherwise.
+    Torch-free: serialized with pth.save_pth (tensors marked via
+    TensorValue); the output loads with both torch.load and pth.load_pth.
     """
-    try:
-        import torch
-    except ImportError as exc:
-        raise RuntimeError(
-            'save_reference_checkpoint requires torch to serialize the '
-            'reference .pth format') from exc
+    from neuron_gan_tpu.pth import TensorValue, save_pth
 
-    def to_torch(state):
-        return {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
-                for k, v in state.items()}
+    def to_tensors(state):
+        return OrderedDict((k, TensorValue(v)) for k, v in state.items())
 
     g_attrs = make_reference_attrs(cfg, growth, latent=True)
     d_attrs = make_reference_attrs(cfg, growth, latent=False)
-    g_attrs['alpha'] = torch.tensor(float(g_attrs['alpha']))
-    d_attrs['alpha'] = torch.tensor(float(d_attrs['alpha']))
+    # the reference stores alpha as a 0-d tensor buffer (models.py:465)
+    g_attrs['alpha'] = TensorValue(np.float32(g_attrs['alpha']))
+    d_attrs['alpha'] = TensorValue(np.float32(d_attrs['alpha']))
     series = series or {}
     ckpt = {
         'epoch': int(epoch),
-        'Generator_state': to_torch(export_generator_state(g_params, cfg, growth)),
+        'Generator_state': to_tensors(export_generator_state(g_params, cfg, growth)),
         'Generator_attrs': g_attrs,
-        'Discriminator_state': to_torch(export_discriminator_state(d_params, cfg, growth)),
+        'Discriminator_state': to_tensors(export_discriminator_state(d_params, cfg, growth)),
         'Discriminator_attrs': d_attrs,
         'lr': float(lr),
         'Loss_real': np.asarray(series.get('Loss_real', np.zeros(0))),
@@ -544,7 +540,7 @@ def save_reference_checkpoint(path, g_params, d_params, cfg: PGConfig,
         'Loss_G': np.asarray(series.get('Loss_G', np.zeros(0))),
         'Loss_D': np.asarray(series.get('Loss_D', np.zeros(0))),
     }
-    torch.save(ckpt, path)
+    save_pth(path, ckpt)
     return path
 
 

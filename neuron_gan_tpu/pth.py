@@ -146,6 +146,115 @@ class _Unpickler(pickle.Unpickler):
             f'blocked unpickle of {module}.{name} (whitelist)')
 
 
+# --------------------------------------------------------------------------
+# Torch-free writer
+# --------------------------------------------------------------------------
+
+class TensorValue:
+    """Marks a numpy array to be serialized as a torch *tensor* (vs a plain
+    numpy array) when writing a ``.pth`` with :func:`save_pth`."""
+
+    def __init__(self, array):
+        self.array = np.ascontiguousarray(np.asarray(array))
+
+
+_STORAGE_BY_DTYPE = {
+    np.dtype(np.float32): 'FloatStorage',
+    np.dtype(np.float64): 'DoubleStorage',
+    np.dtype(np.float16): 'HalfStorage',
+    np.dtype(np.int64): 'LongStorage',
+    np.dtype(np.int32): 'IntStorage',
+    np.dtype(np.int16): 'ShortStorage',
+    np.dtype(np.int8): 'CharStorage',
+    np.dtype(np.uint8): 'ByteStorage',
+    np.dtype(np.bool_): 'BoolStorage',
+}
+
+
+class _PthPickler(pickle._Pickler):
+    """Pickler that emits torch's tensor encoding without importing torch.
+
+    A :class:`TensorValue` is written as
+    ``torch._utils._rebuild_tensor_v2(<persistent storage>, 0, size, stride,
+    False, OrderedDict())`` — exactly what ``torch.save`` produces — by
+    writing the GLOBAL / BINPERSID / REDUCE opcodes directly (the referenced
+    classes live in torch, which we do not import, so pickle's own
+    ``save_global`` resolution cannot be used).  Subclasses the pure-Python
+    pickler: the C implementation's ``save`` is not overridable.
+    """
+
+    def __init__(self, file, storages):
+        # protocol 2: matches torch.save and keeps GLOBAL opcodes text-based
+        super().__init__(file, protocol=2)
+        self._storages = storages  # list of (key, bytes) appended in order
+
+    def _write_global(self, module, name):
+        self.write(pickle.GLOBAL + module.encode('ascii') + b'\n'
+                   + name.encode('ascii') + b'\n')
+
+    def save(self, obj, save_persistent_id=True):
+        if isinstance(obj, TensorValue):
+            memo_entry = self.memo.get(id(obj))
+            if memo_entry is not None:  # same tensor object: share the storage
+                self.write(self.get(memo_entry[0]))
+            else:
+                self._save_tensor(obj)
+            return
+        super().save(obj, save_persistent_id)
+
+    def _save_tensor(self, t):
+        arr = t.array
+        storage_name = _STORAGE_BY_DTYPE.get(arr.dtype)
+        if storage_name is None:
+            raise TypeError(f'unsupported tensor dtype for .pth: {arr.dtype}')
+        key = str(len(self._storages))
+        self._storages.append((key, arr.tobytes()))
+        # torch._utils._rebuild_tensor_v2(storage, 0, size, stride, False,
+        #                                 OrderedDict())
+        self._write_global('torch._utils', '_rebuild_tensor_v2')
+        self.write(pickle.MARK)                       # args tuple opens
+        # arg 0: persistent storage ref
+        # ('storage', torch.<T>Storage, key, 'cpu', numel) -> BINPERSID
+        self.write(pickle.MARK)
+        super().save('storage')
+        self._write_global('torch', storage_name)
+        super().save(key)
+        super().save('cpu')
+        super().save(int(arr.size))
+        self.write(pickle.TUPLE)
+        self.write(pickle.BINPERSID)
+        # args 1..5
+        super().save(0)                               # storage_offset
+        super().save(tuple(int(s) for s in arr.shape))
+        stride = tuple(int(s) // arr.itemsize for s in arr.strides)
+        super().save(stride)
+        super().save(False)                           # requires_grad
+        super().save(OrderedDict())                   # backward_hooks
+        self.write(pickle.TUPLE)                      # args tuple closes
+        self.write(pickle.REDUCE)
+        self.memoize(t)
+
+
+def save_pth(path, obj, archive_name='archive'):
+    """Write ``obj`` as a torch zip-format ``.pth`` without importing torch.
+
+    Wrap arrays that must load as torch *tensors* in :class:`TensorValue`;
+    plain numpy arrays / scalars / containers pickle as themselves (the
+    reference stores its loss series as numpy arrays, utils.py:150-153).
+    The output is readable by ``torch.load`` and by :func:`load_pth`.
+    """
+    buf = io.BytesIO()
+    storages = []
+    _PthPickler(buf, storages).dump(obj)
+    with zipfile.ZipFile(path, 'w', compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr(f'{archive_name}/data.pkl', buf.getvalue())
+        for key, raw in storages:
+            zf.writestr(f'{archive_name}/data/{key}', raw)
+        zf.writestr(f'{archive_name}/version', '3\n')
+        zf.writestr(f'{archive_name}/byteorder', 'little')
+    return path
+
+
 def load_pth(path):
     """Load a torch zip-format ``.pth`` into plain Python + numpy objects.
 

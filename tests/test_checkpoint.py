@@ -326,3 +326,67 @@ def test_merge_tolerant_unexpected_keys_reported():
     merged, report = merge_state_tolerant(target, loaded)
     assert 'stale' not in merged
     assert any('stale' in p for p in report['unexpected'])
+
+
+# --------------------------------------------------------------------------
+# Torch-free .pth writer (pth.save_pth)
+# --------------------------------------------------------------------------
+
+def test_save_pth_roundtrip_both_readers(tmp_path):
+    """save_pth output loads identically via load_pth and real torch.load."""
+    from collections import OrderedDict
+    from neuron_gan_tpu.pth import save_pth, TensorValue
+    path = str(tmp_path / 'written.pth')
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((6, 4)).astype(np.float32)
+    obj = {
+        'epoch': 7, 'lr': 2e-4, 'name': 'abc',
+        'state': OrderedDict([
+            ('w', TensorValue(w)),
+            ('alpha', TensorValue(np.float32(0.25))),
+            ('idx', TensorValue(np.arange(5, dtype=np.int64))),
+        ]),
+        'series': np.arange(3.0),
+        'nested': {'flag': True, 'lst': [1, 2.5]},
+    }
+    save_pth(path, obj)
+
+    got = load_pth(path)
+    np.testing.assert_array_equal(got['state']['w'], w)
+    assert float(np.asarray(got['state']['alpha'])) == 0.25
+    assert got['state']['idx'].dtype == np.int64
+    np.testing.assert_array_equal(got['series'], np.arange(3.0))
+    assert got['nested'] == {'flag': True, 'lst': [1, 2.5]}
+
+    t = torch.load(path, map_location='cpu', weights_only=False)
+    assert isinstance(t['state']['w'], torch.Tensor)
+    np.testing.assert_array_equal(t['state']['w'].numpy(), w)
+    assert t['state']['idx'].dtype == torch.int64
+    assert t['epoch'] == 7 and isinstance(t['state'], type(obj['state']))
+
+
+def test_save_pth_noncontiguous_input(tmp_path):
+    """TensorValue contiguity-normalizes strided views before writing."""
+    from neuron_gan_tpu.pth import save_pth, TensorValue
+    path = str(tmp_path / 'strided_w.pth')
+    base = np.arange(48, dtype=np.float32).reshape(6, 8)
+    view = base.T  # non-contiguous
+    save_pth(path, {'w': TensorValue(view)})
+    got = load_pth(path)
+    np.testing.assert_array_equal(got['w'], view)
+    t = torch.load(path, map_location='cpu', weights_only=False)
+    np.testing.assert_array_equal(t['w'].numpy(), view)
+
+
+def test_save_pth_repeated_tensor_values(tmp_path):
+    """The same TensorValue appearing twice memoizes (single storage)."""
+    import zipfile
+    from neuron_gan_tpu.pth import save_pth, TensorValue
+    path = str(tmp_path / 'memo.pth')
+    tv = TensorValue(np.ones((3, 3), np.float32))
+    save_pth(path, {'a': tv, 'b': tv})
+    with zipfile.ZipFile(path) as zf:
+        storages = [n for n in zf.namelist() if '/data/' in n]
+    assert len(storages) == 1
+    t = torch.load(path, map_location='cpu', weights_only=False)
+    np.testing.assert_array_equal(t['a'].numpy(), t['b'].numpy())

@@ -72,7 +72,8 @@ def build_dataset_dir(path, res, seed=0, n=16):
         Image.fromarray(img, mode='L').save(os.path.join(path, f'n{i:02d}.png'))
 
 
-def run_arm(precision_name, dataset, args, out_dir):
+def run_arm(precision_name, dataset, args, out_dir, fast_augment=False,
+            tag=None):
     import jax
     import jax.numpy as jnp
     from neuron_gan_tpu.models import (
@@ -117,12 +118,13 @@ def run_arm(precision_name, dataset, args, out_dir):
             lr_boundary=int(sched.boundaries[lrp]),
             lr_cap=int(sched.phase_lens[lrp] // 2),
             lr_prev_final=float(sched.lr_at(start)),
-            alpha_start=f0, alpha_step=args.alpha_step, latent_dim=64)
+            alpha_start=f0, alpha_step=args.alpha_step, latent_dim=64,
+            fast_augment=fast_augment)
         runner = make_epoch_runner(cfg, spec, end - start + 1, donate=True)
         state, stats = runner(state, images_stack, run_key, start)
         stats = np.asarray(stats)
         assert np.isfinite(stats).all(), f'NaN at chunk {start}-{end}'
-        print(f'[{precision_name}] epochs {start}-{end} phase {phase} '
+        print(f'[{tag or precision_name}] epochs {start}-{end} phase {phase} '
               f'fade={fading} D={stats[-1, 2]:+.3f} G={stats[-1, 3]:+.3f}',
               flush=True)
     train_s = time.time() - t0
@@ -137,7 +139,8 @@ def run_arm(precision_name, dataset, args, out_dir):
 
     fake = np.asarray(sample(state['g_params'], jax.random.PRNGKey(7)))
     save_image_grid(fake[:16],
-                    os.path.join(out_dir, f'samples_{precision_name}_s{args.seed}.png'))
+                    os.path.join(out_dir,
+                                 f'samples_{tag or precision_name}_s{args.seed}.png'))
     return fake, train_s
 
 
