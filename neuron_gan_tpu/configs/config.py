@@ -98,13 +98,16 @@ packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
                              # >= this resolution run 2x2-packed (exact
                              # transform, 2.4x step speedup at 512^2 — see
                              # ops/packed.py). None disables.
-fast_augment = False         # Run the augmentation warp at phase resolution
+fast_augment = True          # Run the augmentation warp at phase resolution
                              # (resize moved to the front of the pipeline)
                              # instead of the reference's full-padded-res
-                             # order (NeuronDataset.py:113-126).  Inexact
-                             # vs the reference's augmentation distribution;
-                             # large speedup for phases below image_size
-                             # (the warp gather shrinks quadratically).
+                             # order (NeuronDataset.py:113-126).  The warp
+                             # gather shrinks quadratically: 16..128 phases
+                             # run 4-19x faster (BASELINE.md per-phase
+                             # table).  Default after a 2-seed 16->128 SWD
+                             # quality A/B showed no regression (fast was
+                             # never worse); set False for the reference's
+                             # exact augmentation distribution.
 ema_beta = 0.0               # EMA decay for a shadow generator (0 disables; stretch goal)
 donate_state = True          # Donate train-state buffers to jit (in-place update on device)
 profile_dir = ''             # If set, capture a jax.profiler trace of one
