@@ -26,12 +26,16 @@ import numpy as np
 TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
-def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=False):
+def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
     table (a full growth run spends 5/6 of its transitions below the top
     resolution; reference monitor hook train.py:404-407).
+
+    ``fast_augment`` defaults to True = the shipping config default
+    (config.fast_augment): phase-scale jitter + crop-fused warp.  Pass
+    False for the reference-exact augmentation order.
     """
     import jax
     import jax.numpy as jnp
@@ -90,9 +94,13 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=False):
     return n_epochs_chunk * batches_per_epoch / dt  # G+D steps/sec
 
 
-def bench_eval(n_images=20, n_iters=20):
+def bench_eval(n_images=20, n_iters=20, fast=False):
     """Generator inference throughput: images/sec for a 20-image grid at
-    512x512 (BASELINE.md north-star metric #2)."""
+    512x512 (BASELINE.md north-star metric #2).
+
+    Default numerics = the eval CLI's default (true-f32, unpacked — grid
+    bit-parity with the torch reference); ``fast`` mirrors ``eval.py -fast``
+    (packed layout + bf16 conv passes, ~1.6x)."""
     import jax
     import jax.numpy as jnp
     import neuron_gan_tpu
@@ -100,13 +108,11 @@ def bench_eval(n_images=20, n_iters=20):
     from neuron_gan_tpu.models import PGConfig, init_generator_pg, generator_pg
     from neuron_gan_tpu.utils.latents import sample_latent_vec
 
-    # plain layout: packing pays for the training step (grad + double-backward
-    # conv work), but measured slower for forward-only inference (117 vs 132
-    # images/s), so eval stays unpacked
     cfg = PGConfig(
         n_gen_features=(128, 64, 32, 32, 16, 16),
         n_dis_features=(16, 16, 32, 32, 64, 128),
         latent_dim=64, image_size_init=16, n_colors=1,
+        **({'precision': None, 'packed_min_res': 64} if fast else {}),
     )
     params = init_generator_pg(jax.random.PRNGKey(0), cfg)
 
@@ -225,7 +231,7 @@ def bench_torch_reference(n_steps=2, phase=5):
     return n_steps / (time.perf_counter() - t0)
 
 
-def bench_all_phases(fast_augment=False):
+def bench_all_phases(fast_augment=True):
     """Per-phase throughput table (SURVEY §6): steps/s for 16..512, steady
     and fading."""
     rows = []
@@ -254,14 +260,14 @@ if __name__ == '__main__':
             print(json.dumps({'torch_ref_steps_per_sec': sps}))
         sys.exit(0)
     if '--all-phases' in sys.argv:
-        bench_all_phases(fast_augment='--fast-augment' in sys.argv)
+        bench_all_phases(fast_augment='--exact-augment' not in sys.argv)
         sys.exit(0)
     if '--phase' in sys.argv:
         i = sys.argv.index('--phase')
         phase = int(sys.argv[i + 1])
         fading = '--fading' in sys.argv
         sps = bench_tpu(phase=phase, fading=fading,
-                        fast_augment='--fast-augment' in sys.argv)
+                        fast_augment='--exact-augment' not in sys.argv)
         print(json.dumps({
             'metric': f'wgan_gp_train_steps_per_sec_{16 * 2 ** phase}'
                       + ('_fading' if fading else ''),
@@ -270,8 +276,10 @@ if __name__ == '__main__':
             'vs_baseline': None}))
         sys.exit(0)
     if '--metric=eval' in sys.argv or '--eval' in sys.argv:
-        ips = bench_eval()
-        print(json.dumps({'metric': 'eval_images_per_sec_512',
+        fast = '--fast' in sys.argv
+        ips = bench_eval(fast=fast)
+        print(json.dumps({'metric': 'eval_images_per_sec_512'
+                                    + ('_fast' if fast else ''),
                           'value': round(ips, 2),
                           'unit': 'images/sec (20-image grids, 512x512)',
                           'vs_baseline': None}))

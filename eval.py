@@ -19,6 +19,11 @@ parser.add_argument('-weights', type=str, default='gen_dis_default.pth',
 parser.add_argument('-ema', action='store_true', default=False,
                     help='Sample from the EMA shadow generator when the '
                          'checkpoint contains one (native .npz only)')
+parser.add_argument('-fast', action='store_true', default=False,
+                    help='Fast inference: packed conv layout + bf16 conv '
+                         'passes with f32 accumulation (~1.6x throughput; '
+                         'default stays true-f32 for bit-parity with the '
+                         'torch reference grids)')
 options = parser.parse_args()
 
 from neuron_gan_tpu.configs import config
@@ -40,6 +45,11 @@ if weights_filepath.endswith('.pth'):
     from neuron_gan_tpu.checkpoint import import_reference_checkpoint
     g_params, _, model_cfg, growth, _ = import_reference_checkpoint(weights_filepath)
     g_params = jax.tree.map(jnp.asarray, g_params)
+    if options.fast:
+        import dataclasses
+        model_cfg = dataclasses.replace(
+            model_cfg, precision=None,
+            packed_min_res=max(64, 2 * model_cfg.image_size_init))
 else:
     from neuron_gan_tpu.checkpoint import load_pytree_npz
     from neuron_gan_tpu.models import PGConfig, GrowthState
@@ -62,6 +72,8 @@ else:
         n_dis_features=tuple(meta['N_dis_features']),
         latent_dim=int(meta['latent_dim']),
         image_size_init=init,
+        **({'precision': None, 'packed_min_res': max(64, 2 * init)}
+           if options.fast else {}),
     )
     growth = GrowthState(model_cfg)
     if int(meta['image_size']) > init or float(meta['alpha']) < 1.0:

@@ -48,17 +48,27 @@ class AugmentSpec:
     fast: bool = False
 
 
-def _affine_warp_nearest(img, angle_deg, tx, ty, flip):
+def _affine_warp_nearest(img, angle_deg, tx, ty, flip, window=None):
     """Warp one (P, P, C) image: out[p] = img[R(-a)·(p_c - t) + c], zero fill.
 
     Matches torchvision F.affine on tensors (inverse matrix about the image
     center, grid_sample nearest, align_corners=False) with vertical flip
     composed into the output row index.
+
+    ``window=(top, size)`` computes only the centered size x size block of
+    the warped frame (the fast path's crop fusion): identical values to
+    warping the full frame then slicing ``[top:top+size, top:top+size]``,
+    at size^2 instead of P^2 gather points.
     """
     p = img.shape[0]
     c_half = (p - 1) / 2.0
-    ys = jnp.arange(p, dtype=jnp.float32)
-    xs = jnp.arange(p, dtype=jnp.float32)
+    if window is None:
+        ys = jnp.arange(p, dtype=jnp.float32)
+        xs = jnp.arange(p, dtype=jnp.float32)
+    else:
+        top, size = window
+        ys = jnp.arange(size, dtype=jnp.float32) + top
+        xs = jnp.arange(size, dtype=jnp.float32) + top
     # vertical flip flips output rows
     ys_eff = jnp.where(flip, (p - 1) - ys, ys)
     uy = ys_eff - c_half          # centered output coords
@@ -80,9 +90,10 @@ def _affine_warp_nearest(img, angle_deg, tx, ty, flip):
     iyc = jnp.clip(iy, 0, p - 1)
     # flattened 1D take compiles to a much cheaper gather than 2D indexing;
     # indices are clipped above, so XLA may skip its own bounds handling
+    idx = iyc * p + ixc
     flat = img.reshape(p * p, img.shape[-1]).at[
-        (iyc * p + ixc).reshape(-1)].get(mode='promise_in_bounds')
-    out = flat.reshape(p, p, img.shape[-1])
+        idx.reshape(-1)].get(mode='promise_in_bounds')
+    out = flat.reshape(*idx.shape, img.shape[-1])
     return jnp.where(valid[..., None], out, 0.0)
 
 
@@ -105,9 +116,17 @@ def _color_jitter(img, key):
                         lambda x: brightness(contrast(x)), img)
 
 
-def _augment_one(img, key, spec: AugmentSpec):
-    """img: (P, P, C) in [0,1] -> (crop, crop, C) in [-1,1] (pre-resize)."""
+def _augment_one(img, key, spec: AugmentSpec, fused=False):
+    """img: (P, P, C) in [0,1] -> (crop, crop, C) in [-1,1] (pre-resize).
+
+    ``fused`` (the fast path): jitter runs BEFORE the warp (its contrast
+    mean is then over the unwarped padded frame — no full-frame gather
+    needed) and the warp computes only the centered crop window, so the
+    gather shrinks from P^2 to crop^2 points.  Same parameter draws as the
+    exact order (identical key consumption)."""
     p = img.shape[0]
+    s = spec.crop_size
+    top = int(round((p - s) / 2.0))  # CenterCrop: top = round((P - S)/2)
     if spec.augment:
         k_a, k_t1, k_t2, k_f, k_j = jax.random.split(key, 5)
         angle = jax.random.uniform(k_a, (), minval=-spec.degrees,
@@ -117,11 +136,13 @@ def _augment_one(img, key, spec: AugmentSpec):
         tx = jnp.round(jax.random.uniform(k_t1, (), minval=-max_t, maxval=max_t))
         ty = jnp.round(jax.random.uniform(k_t2, (), minval=-max_t, maxval=max_t))
         flip = jax.random.bernoulli(k_f)
+        if fused:
+            img = _color_jitter(img, k_j)
+            img = _affine_warp_nearest(img, angle, tx, ty, flip,
+                                       window=(top, s))
+            return img * 2.0 - 1.0
         img = _affine_warp_nearest(img, angle, tx, ty, flip)
         img = _color_jitter(img, k_j)
-    # CenterCrop (torchvision: top = round((P - S)/2))
-    s = spec.crop_size
-    top = int(round((p - s) / 2.0))
     img = jax.lax.dynamic_slice(img, (top, top, 0), (s, s, img.shape[-1]))
     # Renormalize (0,1) -> (-1,1)
     return img * 2.0 - 1.0
@@ -130,17 +151,20 @@ def _augment_one(img, key, spec: AugmentSpec):
 @functools.partial(jax.jit, static_argnames=('spec',))
 def augment_batch(images, key, spec: AugmentSpec):
     """images: (B, P, P, C) in [0,1] -> (B, out, out, C) in [-1,1]."""
+    fused = spec.fast
     if spec.fast and spec.out_size < spec.crop_size:
         # Fast path: move the downscale to the front (two small einsums),
-        # then warp/jitter/crop at phase scale.  The padded frame keeps the
-        # same proportion (p_small/out == p/crop), so the center-crop offset
-        # and the fractional translation range map exactly.
+        # then jitter + crop-fused warp at phase scale.  The padded frame
+        # keeps the same proportion (p_small/out == p/crop), so the
+        # center-crop offset and the fractional translation range map
+        # exactly; the gather runs over out^2 points instead of P^2.
         p = images.shape[1]
         p_small = int(round(p * spec.out_size / spec.crop_size))
         images = resize_antialias(images, p_small)
         spec = dataclasses.replace(spec, crop_size=spec.out_size, fast=False)
     keys = jax.random.split(key, images.shape[0])
-    out = jax.vmap(lambda im, k: _augment_one(im, k, spec))(images, keys)
+    out = jax.vmap(lambda im, k: _augment_one(im, k, spec, fused=fused))(
+        images, keys)
     if spec.out_size < spec.crop_size:
         out = resize_antialias(out, spec.out_size)
     return out

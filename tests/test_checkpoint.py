@@ -353,7 +353,7 @@ def test_save_pth_roundtrip_both_readers(tmp_path):
 
     got = load_pth(path)
     np.testing.assert_array_equal(got['state']['w'], w)
-    assert float(np.asarray(got['state']['alpha'])) == 0.25
+    assert np.asarray(got['state']['alpha']).reshape(()) == 0.25
     assert got['state']['idx'].dtype == np.int64
     np.testing.assert_array_equal(got['series'], np.arange(3.0))
     assert got['nested'] == {'flag': True, 'lst': [1, 2.5]}

@@ -198,15 +198,37 @@ def _smooth_stack(b=4, p=24, c=1, seed=0):
     return np.stack(imgs)[..., None].astype(np.float32)
 
 
-def test_fast_augment_noop_at_full_resolution():
-    """fast=True must be bit-identical to the exact path when out == crop."""
-    x = _smooth_stack(b=2, p=24)
+def test_warp_window_fusion_is_exact():
+    """_affine_warp_nearest(window=(top, s)) == full warp then slice,
+    bit-for-bit, across angles/translations/flips (the fast path's crop
+    fusion is a pure gather-subset)."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((24, 24, 1)).astype(np.float32))
+    top, s = 4, 16
+    for angle, tx, ty, flip in [(0.0, 0.0, 0.0, False), (37.0, 2.0, -1.0, True),
+                                (-120.0, -3.0, 3.0, False), (179.0, 1.0, 0.0, True)]:
+        full = np.asarray(_affine_warp_nearest(img, jnp.float32(angle),
+                                               jnp.float32(tx), jnp.float32(ty),
+                                               jnp.asarray(flip)))
+        win = np.asarray(_affine_warp_nearest(img, jnp.float32(angle),
+                                              jnp.float32(tx), jnp.float32(ty),
+                                              jnp.asarray(flip), window=(top, s)))
+        np.testing.assert_array_equal(full[top:top + s, top:top + s], win)
+
+
+def test_fast_augment_close_to_exact_at_full_resolution():
+    """At out == crop the fused path differs only by jitter order (contrast
+    mean over the unwarped frame) and must stay close on smooth images."""
+    x = _smooth_stack(b=4, p=24)
     exact = AugmentSpec(crop_size=16, out_size=16, translation=0.1, augment=True)
     fast = AugmentSpec(crop_size=16, out_size=16, translation=0.1, augment=True,
                        fast=True)
     k = jax.random.PRNGKey(5)
-    np.testing.assert_array_equal(np.asarray(augment_batch(jnp.asarray(x), k, exact)),
-                                  np.asarray(augment_batch(jnp.asarray(x), k, fast)))
+    a = np.asarray(augment_batch(jnp.asarray(x), k, exact))
+    b = np.asarray(augment_batch(jnp.asarray(x), k, fast))
+    assert a.shape == b.shape == (4, 16, 16, 1)
+    assert np.abs(a - b).mean() < 0.1
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9
 
 
 def test_fast_augment_shapes_range_determinism():

@@ -150,6 +150,13 @@ def test_eval_cli_reference_pth(tmp_path, monkeypatch):
     with Image.open(out) as im:
         assert im.size[0] >= 16 * 2  # 2x2 grid at 16px + padding
 
+    # -fast (packed layout + relaxed matmul precision) renders the same grid
+    monkeypatch.setattr(sys, 'argv', ['eval.py', '-n', '4', '-fast',
+                                      '-weights', 'gen_ref.pth',
+                                      '-output', 'ref_grid_fast.png'])
+    runpy.run_path('eval.py', run_name='__main__')
+    assert (out_root / 'images' / 'ref_grid_fast.png').exists()
+
 
 @pytest.mark.slow
 def test_adapt_critic_cli(tmp_path, monkeypatch, tiny_dataset_dir):
