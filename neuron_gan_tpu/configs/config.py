@@ -84,7 +84,8 @@ N_dis_features = [16, 16, 32, 32, 64, 128]
 
 # TPU execution (new; no reference counterpart)
 mesh_shape = None            # e.g. {'data': 8} or {'data': 4, 'model': 2}; None = single chip
-compute_dtype = 'float32'    # 'float32' or 'bfloat16' activation dtype for model compute
+compute_dtype = 'float32'    # 'float32', 'bfloat16', or 'mixed' (bf16 activations,
+                             # f32 stem/norm-stats/images/critic-head) model compute
 matmul_precision = 'default' # jax matmul precision for convs:
                              # 'default' = one bf16 pass per conv with f32
                              # accumulation (fastest; promoted after a
@@ -199,7 +200,7 @@ def validate_configs(interactive=True):
     image_size_log = round(math.log2(image_size))
     assert image_size == 2 ** image_size_log, 'Image size must be a power of 2.'
     assert ID != '', 'The training ID is undefined.'
-    assert compute_dtype in ('float32', 'bfloat16'), f'compute_dtype:{compute_dtype} is not supported.'
+    assert compute_dtype in ('float32', 'bfloat16', 'mixed'), f'compute_dtype:{compute_dtype} is not supported.'
 
     if pggan:
         global transit_sch, transit_period

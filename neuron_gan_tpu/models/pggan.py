@@ -68,6 +68,11 @@ class PGConfig:
     image_size_init: int = 4
     n_colors: int = 1
     neg_slope: float = 0.2
+    # 'float32' (reference-parity), 'bfloat16' (everything half-width), or
+    # 'mixed': bfloat16 activations through the conv blocks (where the HBM
+    # bytes are) with float32 kept where low precision measurably hurts GAN
+    # training — the latent stem, PixelNorm statistics, the to_rgb tanh
+    # image, and the critic head/score.
     compute_dtype: str = 'float32'
     # 'highest' keeps f32 convs in true f32 (XLA's default runs them as
     # low-precision passes, which breaks parity with the torch reference);
@@ -113,7 +118,13 @@ class PGConfig:
 
     @property
     def dtype(self):
+        if self.compute_dtype == 'mixed':
+            return jnp.dtype('bfloat16')
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def mixed(self) -> bool:
+        return self.compute_dtype == 'mixed'
 
 
 # --------------------------------------------------------------------------
@@ -178,12 +189,12 @@ def init_discriminator_pg(key, cfg: PGConfig, dtype=jnp.float32):
 
 def _lrelu_pn(x, cfg: PGConfig):
     """LeakyReLU -> PixelNorm epilogue; Pallas-fused when cfg.use_pallas."""
-    if cfg.use_pallas:
+    if cfg.use_pallas and not cfg.mixed:
         import jax
         from neuron_gan_tpu.ops.pallas_kernels import lrelu_pixel_norm_pallas
         interpret = jax.default_backend() != 'tpu'  # CPU tests run interpreted
         return lrelu_pixel_norm_pallas(x, cfg.neg_slope, 1e-8, interpret)
-    return pixel_norm(leaky_relu(x, cfg.neg_slope))
+    return pixel_norm(leaky_relu(x, cfg.neg_slope), f32_stats=cfg.mixed)
 
 
 def _gen_block(x, p, cfg: PGConfig):
@@ -198,21 +209,16 @@ def _gen_block(x, p, cfg: PGConfig):
     return x
 
 
-def _dis_block(x, p, cfg: PGConfig):
-    """AvgPool-then-two-convs discriminator block (models.py:245-268, scale=0.5)."""
-    x = avg_pool(x, 2)
-    x = _lrelu_pn(equalized_conv2d(x, p['conv1'], padding=1,
-                                   neg_slope=cfg.neg_slope,
-                                   precision=cfg.precision), cfg)
-    x = _lrelu_pn(equalized_conv2d(x, p['conv2'], padding=1,
-                                   neg_slope=cfg.neg_slope,
-                                   precision=cfg.precision), cfg)
-    return x
-
-
 def _to_rgb(x, p, cfg: PGConfig):
-    """1x1 projection to color space + tanh (models.py:133-152)."""
-    return jnp.tanh(conv2d(x, p, padding=0, precision=cfg.precision))
+    """1x1 projection to color space + tanh (models.py:133-152).
+
+    Under 'mixed' the image leaves the generator in float32 (the tanh and
+    everything downstream — fade-in blend, GP interpolation, losses — run
+    at full precision)."""
+    y = conv2d(x, p, padding=0, precision=cfg.precision)
+    if cfg.mixed:
+        y = y.astype(jnp.float32)
+    return jnp.tanh(y)
 
 
 def _from_rgb(x, p, cfg: PGConfig):
@@ -255,10 +261,12 @@ def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
         x = pk.space_to_depth(upsample2_bilinear(x))
     x = pk.packed_pixel_norm(leaky_relu(
         pk.packed_equalized_conv3x3(x, p['conv1'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg.neg_slope))
+                                    precision=cfg.precision), cfg.neg_slope),
+        f32_stats=cfg.mixed)
     x = pk.packed_pixel_norm(leaky_relu(
         pk.packed_equalized_conv3x3(x, p['conv2'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg.neg_slope))
+                                    precision=cfg.precision), cfg.neg_slope),
+        f32_stats=cfg.mixed)
     return x, True
 
 
@@ -266,8 +274,10 @@ def _to_rgb_any(x, packed: bool, p, cfg: PGConfig):
     if not packed:
         return _to_rgb(x, p, cfg)
     from neuron_gan_tpu.ops import packed as pk
-    return pk.depth_to_space(jnp.tanh(
-        pk.packed_conv1x1(x, p, precision=cfg.precision)))
+    y = pk.packed_conv1x1(x, p, precision=cfg.precision)
+    if cfg.mixed:
+        y = y.astype(jnp.float32)
+    return pk.depth_to_space(jnp.tanh(y))
 
 
 def generator_pg(params, z, cfg: PGConfig, phase: int, alpha=None):
@@ -278,8 +288,11 @@ def generator_pg(params, z, cfg: PGConfig, phase: int, alpha=None):
     (models.py:344-351) blending the upsampled previous-resolution image with
     the new block's output.
     """
-    z = z.astype(cfg.dtype)
-    x = _gen_stem(params, z, cfg)
+    if cfg.mixed:
+        # float32 stem (tiny: init-res tensors), bfloat16 through the blocks
+        x = _gen_stem(params, z.astype(jnp.float32), cfg).astype(cfg.dtype)
+    else:
+        x = _gen_stem(params, z.astype(cfg.dtype), cfg)
     packed = False
     if alpha is None:
         for i in range(phase):
@@ -296,6 +309,9 @@ def generator_pg(params, z, cfg: PGConfig, phase: int, alpha=None):
 
 
 def _dis_head(y, params, cfg: PGConfig):
+    if cfg.mixed:
+        # float32 head (init-res tensors): full-precision critic scores
+        y = y.astype(jnp.float32)
     y = pixel_norm(leaky_relu(
         equalized_conv2d(y, params['head']['conv'], padding=1,
                          neg_slope=cfg.neg_slope, precision=cfg.precision),
@@ -326,20 +342,22 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
     else:
         y = avg_pool(y, 2)
     if not _want_packed(cfg, half):
-        y = pixel_norm(leaky_relu(
-            equalized_conv2d(y, p['conv1'], padding=1, neg_slope=cfg.neg_slope,
-                             precision=cfg.precision), cfg.neg_slope))
-        y = pixel_norm(leaky_relu(
-            equalized_conv2d(y, p['conv2'], padding=1, neg_slope=cfg.neg_slope,
-                             precision=cfg.precision), cfg.neg_slope))
+        y = _lrelu_pn(equalized_conv2d(y, p['conv1'], padding=1,
+                                       neg_slope=cfg.neg_slope,
+                                       precision=cfg.precision), cfg)
+        y = _lrelu_pn(equalized_conv2d(y, p['conv2'], padding=1,
+                                       neg_slope=cfg.neg_slope,
+                                       precision=cfg.precision), cfg)
         return y, False
     y = pk.space_to_depth(y)
     y = pk.packed_pixel_norm(leaky_relu(
         pk.packed_equalized_conv3x3(y, p['conv1'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg.neg_slope))
+                                    precision=cfg.precision), cfg.neg_slope),
+        f32_stats=cfg.mixed)
     y = pk.packed_pixel_norm(leaky_relu(
         pk.packed_equalized_conv3x3(y, p['conv2'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg.neg_slope))
+                                    precision=cfg.precision), cfg.neg_slope),
+        f32_stats=cfg.mixed)
     return y, True
 
 

@@ -96,12 +96,18 @@ def packed_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
     return y
 
 
-def packed_pixel_norm(x_packed, eps=1e-8):
+def packed_pixel_norm(x_packed, eps=1e-8, f32_stats=False):
     """PixelNorm over ORIGINAL channels: normalize each (a, b) group's C
-    channels independently."""
+    channels independently.  ``f32_stats`` mirrors ops.pixel_norm: float32
+    statistics + normalization, result cast back to the input dtype."""
     b, h, w, c4 = x_packed.shape
     c = c4 // 4
     xg = x_packed.reshape(b, h, w, 4, c)
+    if f32_stats and xg.dtype != jnp.float32:
+        xf = xg.astype(jnp.float32)
+        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        xg = (xf * lax.rsqrt(ms + eps)).astype(x_packed.dtype)
+        return xg.reshape(b, h, w, c4)
     ms = jnp.mean(jnp.square(xg), axis=-1, keepdims=True)
     return (xg * lax.rsqrt(ms + eps)).reshape(b, h, w, c4)
 

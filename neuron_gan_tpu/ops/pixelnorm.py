@@ -18,14 +18,23 @@ def leaky_relu(x, neg_slope=0.2):
     return jnp.where(x >= 0, x, x * neg_slope)
 
 
-def pixel_norm(x, eps=1e-8):
-    """Per-pixel feature normalization over the channel (last) axis."""
+def pixel_norm(x, eps=1e-8, f32_stats=False):
+    """Per-pixel feature normalization over the channel (last) axis.
+
+    ``f32_stats`` computes the mean-of-squares and the normalization in
+    float32 and casts the result back to ``x.dtype`` — the quality-safe
+    half of the ``compute_dtype='mixed'`` recipe (bfloat16 activations,
+    full-precision normalization statistics)."""
+    if f32_stats and x.dtype != jnp.float32:
+        xf = x.astype(jnp.float32)
+        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
     ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
     return x * jax.lax.rsqrt(ms + eps)
 
 
-def lrelu_pixel_norm(x, neg_slope=0.2, eps=1e-8):
-    return pixel_norm(leaky_relu(x, neg_slope), eps)
+def lrelu_pixel_norm(x, neg_slope=0.2, eps=1e-8, f32_stats=False):
+    return pixel_norm(leaky_relu(x, neg_slope), eps, f32_stats=f32_stats)
 
 
 def init_cubic_activation():
