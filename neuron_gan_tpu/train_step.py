@@ -166,6 +166,13 @@ class ChunkSpec:
     # Run the augmentation warp at phase scale (AugmentSpec.fast) —
     # config.fast_augment
     fast_augment: bool = False
+    # Reuse the critic-loss fake batch (z1) for the gradient-penalty
+    # interpolates instead of drawing a fresh z2 — the original WGAN-GP
+    # formulation (Gulrajani et al. penalize the same fake minibatch); the
+    # reference draws fresh latents per loss (loss_functions.py:166).  XLA
+    # CSE then computes G(z1) once, saving a full generator forward per
+    # critic step.  config.gp_reuse_fakes
+    gp_reuse_fakes: bool = False
 
     @property
     def n_full_batches(self):
@@ -247,7 +254,8 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         for j in range(spec.n_critic):
             kj = jax.random.fold_in(k_batch, 1 + j)
             z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (b, spec.latent_dim))
-            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (b, spec.latent_dim))
+            z2 = z1 if spec.gp_reuse_fakes else sample_latent_vec(
+                jax.random.fold_in(kj, 1), (b, spec.latent_dim))
             eps = jax.random.uniform(jax.random.fold_in(kj, 2), (b,))
             (d_loss_val, (sr, sf, gp)), d_grads = jax.value_and_grad(
                 d_total_loss, has_aux=True)(d_params, z1, z2, eps)
@@ -257,7 +265,8 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
             # loss computed for monitoring only (train.py:369-372)
             kj = jax.random.fold_in(k_batch, 1)
             z1 = sample_latent_vec(jax.random.fold_in(kj, 0), (b, spec.latent_dim))
-            z2 = sample_latent_vec(jax.random.fold_in(kj, 1), (b, spec.latent_dim))
+            z2 = z1 if spec.gp_reuse_fakes else sample_latent_vec(
+                jax.random.fold_in(kj, 1), (b, spec.latent_dim))
             eps = jax.random.uniform(jax.random.fold_in(kj, 2), (b,))
             d_loss_val, (sr, sf, gp) = d_total_loss(d_params, z1, z2, eps)
 

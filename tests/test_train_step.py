@@ -84,6 +84,31 @@ def test_gp_lambda_zero_skips_penalty(images_stack):
     assert np.asarray(stats)[0, STAT_NAMES.index('D_grad_pen')] == 0.0
 
 
+def test_gp_reuse_fakes_runs_and_matches_fresh_shape(images_stack):
+    """gp_reuse_fakes feeds the critic-loss fake batch (z1) to the GP
+    (original WGAN-GP formulation) — finite stats, both nets update, and
+    the trajectory genuinely differs from the fresh-draw reference
+    semantics (different GP interpolates)."""
+    run_fresh = make_epoch_runner(CFG, make_spec(), n_epochs=1, donate=False)
+    run_reuse = make_epoch_runner(CFG, make_spec(gp_reuse_fakes=True),
+                                  n_epochs=1, donate=False)
+    s_fresh, st_fresh = run_fresh(make_state(), images_stack,
+                                  jax.random.PRNGKey(5), 1)
+    s_reuse, st_reuse = run_reuse(make_state(), images_stack,
+                                  jax.random.PRNGKey(5), 1)
+    assert np.isfinite(np.asarray(st_fresh)).all()
+    assert np.isfinite(np.asarray(st_reuse)).all()
+    gp_i = STAT_NAMES.index('D_grad_pen')
+    assert np.asarray(st_reuse)[0, gp_i] > 0.0
+    # same key, different GP latents => different critic update
+    d_fresh = np.asarray(s_fresh['d_params']['head']['conv']['w'])
+    d_reuse = np.asarray(s_reuse['d_params']['head']['conv']['w'])
+    assert not np.allclose(d_fresh, d_reuse)
+    # critic-loss fakes use the same z1 in both modes, so score_fake sees
+    # the same latents (values differ only through the updated critic)
+    assert np.isfinite(np.asarray(st_fresh)[0, STAT_NAMES.index('score_fake')])
+
+
 def test_lr_schedule_matches_reference_semantics():
     # schedule: transitions at 100, 200; N=300; per-phase halves = 50
     from neuron_gan_tpu.schedule import TrainSchedule
