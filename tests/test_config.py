@@ -95,3 +95,14 @@ def test_validate_rejects_overlapping_transitions(config):
     config.alpha_step = 0.0001  # fade needs 10k epochs > 50-epoch spacing
     with pytest.raises(AssertionError, match='separated'):
         config.validate_configs(interactive=False)
+
+
+def test_config_fast_preset_imports_and_validates(config):
+    """The speed preset passes the same import/whitelist/validation path as
+    any user config and sets exactly the two opt-in trade knobs."""
+    config.import_configs('config_fast.py', overwritten_configs={'ID': 'cf1'})
+    assert config.compute_dtype == 'mixed'
+    assert config.gp_reuse_fakes is True
+    # everything else matches the reference example values
+    assert config.batch_size == 8 and config.image_size == 512
+    assert config.N_gen_features == [128, 64, 32, 32, 16, 16]
