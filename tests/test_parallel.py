@@ -127,3 +127,27 @@ def test_packed_data_model_parallel_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1['d_params']),
                     jax.tree.leaves(s2['d_params'])):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_mixed_dtype_data_parallel_runs_and_tracks_single_device():
+    """compute_dtype='mixed' under a data mesh: bf16 activations meet the
+    batch sharding constraint and the f32 gradient psum without error, and
+    the sharded trajectory TRACKS single-device.
+
+    Unlike the f32 tests above, bit-level equality is not an invariant here:
+    sharding changes the matmul tiling, which changes bf16 partial-sum
+    rounding (measured ~1e-3 absolute on epoch stats) — so this asserts
+    mechanical health (finite, f32 master params, stats within a few
+    percent); exact collective correctness is pinned by the f32 tests."""
+    cfg_mx = dataclasses.replace(PACKED_CFG, compute_dtype='mixed')
+    s1, st1 = run(None, n_epochs=1, cfg=cfg_mx, base=PACKED_BASE, image_hw=96)
+    s2, st2 = run({'data': 4}, n_epochs=1, cfg=cfg_mx, base=PACKED_BASE,
+                  image_hw=96)
+    assert np.isfinite(st1).all() and np.isfinite(st2).all()
+    np.testing.assert_allclose(st1, st2, rtol=0.05, atol=5e-3)
+    for a, b in zip(jax.tree.leaves(s1['g_params']),
+                    jax.tree.leaves(s2['g_params'])):
+        assert a.dtype == np.float32
+        # atol covers Adam's sign-amplification of bf16 tiling noise on
+        # near-zero-gradient coordinates (a few lr-sized flips per epoch)
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3)
