@@ -146,3 +146,127 @@ def packed_upsample2_bilinear(x_packed):
     """
     from neuron_gan_tpu.ops.resize import upsample2_bilinear
     return space_to_depth(upsample2_bilinear(depth_to_space(x_packed)))
+
+
+# --------------------------------------------------------------------------
+# Fused upsample + conv: s2d(conv3x3(zeropad(up2(x)))) as ONE stride-1 conv
+# --------------------------------------------------------------------------
+#
+# Derivation (1D): with u = up2(x) (taps 0.25/0.75, edge-clamped) and
+# y = conv3(zeropad(u)), the packed output Y[p][J] = y[2J+p] reads u at
+# indices 2J+p+ty, each of which is a fixed 2-tap combination of x[J+dy]
+# for dy in {-1,0,1}.  The composed coefficients c[p][ty][dy]:
+#
+#   p=0:  ty=-1 -> {dy=-1: .75, dy=0: .25}     (u[2J-1] = .75x[J-1]+.25x[J])
+#         ty= 0 -> {dy=-1: .25, dy=0: .75}
+#         ty=+1 -> {dy= 0: .75, dy=1: .25}
+#   p=1:  ty=-1 -> {dy=-1: .25, dy=0: .75}
+#         ty= 0 -> {dy= 0: .75, dy=1: .25}
+#         ty=+1 -> {dy= 0: .25, dy=1: .75}
+#
+# Both output parities are 3-tap STRIDE-1 filters on the input grid — the
+# output-packed spatial grid coincides with the input grid, so the whole
+# upsample-then-conv becomes a single 3x3 conv from Ci to 4*Co channels
+# (parity-major (p, q, o) order, matching space_to_depth).  This does 4x
+# fewer MACs than upsampling then running the packed conv (the contraction
+# is over Ci, not 4Ci) and eliminates the upsample's interleave chain, the
+# costliest non-conv ops in the step trace (BASELINE.md).
+#
+# Borders: an edge-padded input reproduces up2's clamp, but the conv's
+# ZERO-padding of u (u[-1] = u[2n] = 0) touches exactly the first/last
+# output row (p=0 at J=0 / p=1 at J=n-1) and column — those four
+# one-pixel-wide bands are recomputed exactly from thin slices and written
+# over the fused result.
+
+_UP2_TAPS = np.zeros((2, 3, 3), np.float32)  # [parity, ty+1, dy+1]
+_UP2_TAPS[0, 0, 0], _UP2_TAPS[0, 0, 1] = 0.75, 0.25
+_UP2_TAPS[0, 1, 0], _UP2_TAPS[0, 1, 1] = 0.25, 0.75
+_UP2_TAPS[0, 2, 1], _UP2_TAPS[0, 2, 2] = 0.75, 0.25
+_UP2_TAPS[1, 0, 0], _UP2_TAPS[1, 0, 1] = 0.25, 0.75
+_UP2_TAPS[1, 1, 1], _UP2_TAPS[1, 1, 2] = 0.75, 0.25
+_UP2_TAPS[1, 2, 1], _UP2_TAPS[1, 2, 2] = 0.25, 0.75
+
+
+def fuse_up2_conv3x3_weight(w, scale=1.0):
+    """(3,3,Ci,Co) kernel -> (3,3,Ci,4Co) fused upsample+conv kernel."""
+    c = jnp.asarray(_UP2_TAPS, w.dtype)
+    w = w * jnp.asarray(scale, w.dtype)
+    # W_f[dy,dx,i,(p,q,o)] = sum_{ty,tx} c[p,ty,dy] c[q,tx,dx] w[ty,tx,i,o]
+    wf = jnp.einsum('ptd,qse,tsio->deipqo', c, c, w)
+    kh, kw, ci, co = w.shape
+    return wf.reshape(3, 3, ci, 4 * co)
+
+
+def _conv_valid(x, w, precision):
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+
+
+def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
+    """s2d(conv3x3_zero-pad(up2_bilinear(x))) * eq_scale as one fused conv.
+
+    ``x`` is UNPACKED (B, n, n, Ci); output is the packed rep of res 2n,
+    (B, n, n, 4Co).  Equalized scale uses the original conv's fan_in
+    (Ci*9), exactly like packed_equalized_conv3x3.  Float-equivalent (not
+    bit-equal) to the decomposed path: the composed kernel reorders the
+    tap summation — use the decomposed path for strict op-level parity.
+    """
+    w = params['w']
+    assert 'b' not in params, 'fused up2-conv supports bias-free blocks only'
+    fan_in = w.shape[2] * 9
+    scale = calculate_gain('leaky_relu', neg_slope) / math.sqrt(fan_in)
+    w_s = w * jnp.asarray(scale, w.dtype)
+
+    n = x.shape[1]
+    co = w.shape[3]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    y = _conv_valid(xp, fuse_up2_conv3x3_weight(w, scale), precision)
+
+    # ---- exact border bands (u rows/cols 0,1 and 2n-2,2n-1 from thin
+    # slices, same float expressions as the decomposed ops) ----
+    from neuron_gan_tpu.ops.resize import _up2_1d
+
+    def row_band(top):
+        # u rows 0..1 (top) or 2n-2..2n-1 (bottom), exact: H taps first,
+        # then the full-width W upsample (the decomposed order)
+        x2 = x[:, 0:2] if top else x[:, n - 2:n]
+        r0, r1 = x2[:, 0:1], x2[:, 1:2]
+        if top:
+            uh = jnp.concatenate([0.25 * r0 + 0.75 * r0,
+                                  0.75 * r0 + 0.25 * r1], axis=1)
+        else:
+            uh = jnp.concatenate([0.25 * r0 + 0.75 * r1,
+                                  0.75 * r1 + 0.25 * r1], axis=1)
+        u = _up2_1d(uh, 2)  # (B, 2, 2n, Ci)
+        # conv row band: zero row beyond the border, zero cols (conv pad)
+        rows = ((1, 0), (0, 1)) if top else ((0, 1), (1, 0))
+        up = jnp.pad(u, ((0, 0), rows[0], (1, 1), (0, 0)))
+        return _conv_valid(up, w_s, precision)  # (B, 1, 2n, Co)
+
+    def col_band(left):
+        xc = x[:, :, 0:2] if left else x[:, :, n - 2:n]
+        uh = _up2_1d(xc, 1)  # (B, 2n, 2, Ci) — H first, as decomposed
+        c0, c1 = uh[:, :, 0:1], uh[:, :, 1:2]
+        if left:
+            u = jnp.concatenate([0.25 * c0 + 0.75 * c0,
+                                 0.75 * c0 + 0.25 * c1], axis=2)
+        else:
+            u = jnp.concatenate([0.25 * c0 + 0.75 * c1,
+                                 0.75 * c1 + 0.25 * c1], axis=2)
+        cols = ((1, 0), (0, 1)) if left else ((0, 1), (1, 0))
+        up = jnp.pad(u, ((0, 0), (1, 1), cols[0], (0, 0)))
+        return _conv_valid(up, w_s, precision)  # (B, 2n, 1, Co)
+
+    b = x.shape[0]
+    y5 = y.reshape(b, n, n, 2, 2, co)
+    top = row_band(True).reshape(b, 1, n, 2, co)       # cols packed (q, o)
+    bot = row_band(False).reshape(b, 1, n, 2, co)
+    y5 = y5.at[:, 0:1, :, 0, :, :].set(top)            # p=0, J=0
+    y5 = y5.at[:, n - 1:n, :, 1, :, :].set(bot)        # p=1, J=n-1
+    lf = col_band(True).reshape(b, n, 2, 1, co).transpose(0, 1, 3, 2, 4)
+    rt = col_band(False).reshape(b, n, 2, 1, co).transpose(0, 1, 3, 2, 4)
+    y5 = y5.at[:, :, 0:1, :, 0, :].set(lf)             # q=0, K=0
+    y5 = y5.at[:, :, n - 1:n, :, 1, :].set(rt)         # q=1, K=n-1
+    return y5.reshape(b, n, n, 4 * co)

@@ -164,3 +164,57 @@ def test_packed_gradients_match_plain(params):
     for a, b in zip(jax.tree.leaves(grads_plain), jax.tree.leaves(grads_packed)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fused_up2_conv_matches_decomposed():
+    """up2_equalized_conv3x3 == s2d(eq_conv3x3(up2(x))) to float tolerance,
+    including the four border bands the zero-padding correction rewrites."""
+    from neuron_gan_tpu.ops import upsample2_bilinear
+    rng = np.random.default_rng(21)
+    for n, ci, co in [(4, 3, 5), (6, 5, 4), (8, 2, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, n, n, ci)).astype(np.float32))
+        p = {'w': jnp.asarray(
+            rng.standard_normal((3, 3, ci, co)).astype(np.float32))}
+        want = pk.space_to_depth(equalized_conv2d(
+            upsample2_bilinear(x), p, padding=1, precision='highest'))
+        got = pk.up2_equalized_conv3x3(x, p, precision='highest')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_up2_conv_gradients_match_decomposed():
+    from neuron_gan_tpu.ops import upsample2_bilinear
+    rng = np.random.default_rng(22)
+    n, ci, co = 6, 3, 4
+    x = jnp.asarray(rng.standard_normal((2, n, n, ci)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((2, n, n, 4 * co)).astype(np.float32))
+
+    def fused(x_, w_):
+        return jnp.sum(pk.up2_equalized_conv3x3(x_, {'w': w_},
+                                                precision='highest') * ct)
+
+    def decomposed(x_, w_):
+        return jnp.sum(pk.space_to_depth(equalized_conv2d(
+            upsample2_bilinear(x_), {'w': w_}, padding=1,
+            precision='highest')) * ct)
+
+    gx1, gw1 = jax.grad(fused, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(decomposed, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_generator_fused_up2_matches_decomposed():
+    """Full packed generator with fuse_up2_conv on vs off (both f32
+    highest): same images to float tolerance across phases and fade-in."""
+    cfg_off = dataclasses.replace(CFG_PACKED, fuse_up2_conv=False)
+    cfg_on = dataclasses.replace(CFG_PACKED, fuse_up2_conv=True)
+    g = init_generator_pg(jax.random.PRNGKey(7), CFG)
+    z = jax.random.normal(jax.random.PRNGKey(8), (2, CFG.latent_dim))
+    for phase, alpha in [(2, None), (3, None), (3, 0.4)]:
+        want = np.asarray(generator_pg(g, z, cfg_off, phase, alpha))
+        got = np.asarray(generator_pg(g, z, cfg_on, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
