@@ -390,3 +390,57 @@ def test_save_pth_repeated_tensor_values(tmp_path):
     assert len(storages) == 1
     t = torch.load(path, map_location='cpu', weights_only=False)
     np.testing.assert_array_equal(t['a'].numpy(), t['b'].numpy())
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """tools/convert_checkpoint.py: npz -> pth -> npz preserves weights
+    bit-exactly and carries growth meta + loss series both ways."""
+    import os
+    import runpy
+    import sys as _sys
+
+    from neuron_gan_tpu.models import (PGConfig, GrowthState,
+                                       init_generator_pg, init_discriminator_pg)
+    from neuron_gan_tpu.checkpoint import save_pytree_npz, load_pytree_npz
+    from neuron_gan_tpu.pth import load_pth
+
+    cfg = PGConfig(n_gen_features=(8, 4, 4), n_dis_features=(4, 4, 8),
+                   latent_dim=6, image_size_init=4)
+    kg, kd = jax.random.split(jax.random.PRNGKey(3))
+    g = jax.tree.map(np.asarray, init_generator_pg(kg, cfg))
+    d = jax.tree.map(np.asarray, init_discriminator_pg(kd, cfg))
+    growth = GrowthState(cfg)
+    growth.set_resolution(8, 0.5)
+    meta = {'epoch': 7, 'lr': 2e-4, 'image_size': 8, 'alpha': 0.5,
+            'phase': 1, 'ID': 'cv1',
+            'N_gen_features': [8, 4, 4], 'N_dis_features': [4, 4, 8],
+            'latent_dim': 6, 'image_size_init': 4}
+    series = {'Loss_real': np.arange(7.0), 'Loss_fake': np.ones(7),
+              'Loss_G': np.zeros(7), 'Loss_D': np.zeros(7)}
+    npz1 = str(tmp_path / 'GenDisc_cv1.npz')
+    save_pytree_npz(npz1, {'state': {'g_params': g, 'd_params': d},
+                           'series': series}, meta)
+
+    tool = os.path.join(os.path.dirname(__file__), os.pardir, 'tools',
+                        'convert_checkpoint.py')
+    pth = str(tmp_path / 'cv1.pth')
+    _sys.argv = [tool, npz1, pth]
+    runpy.run_path(tool, run_name='__main__')
+    saved = load_pth(pth)
+    assert saved['epoch'] == 7
+    assert float(np.asarray(saved['Generator_attrs']['alpha'])) == 0.5
+    np.testing.assert_array_equal(saved['Loss_real'], np.arange(7.0))
+
+    npz2 = str(tmp_path / 'GenDisc_cv2.npz')
+    _sys.argv = [tool, pth, npz2]
+    runpy.run_path(tool, run_name='__main__')
+    payload, meta2 = load_pytree_npz(npz2)
+    assert meta2['image_size'] == 8 and meta2['alpha'] == 0.5
+    assert meta2['epoch'] == 7
+    for a, b in zip(jax.tree.leaves(g),
+                    jax.tree.leaves(payload['state']['g_params'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(d),
+                    jax.tree.leaves(payload['state']['d_params'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(payload['series']['Loss_fake'], np.ones(7))
