@@ -24,6 +24,15 @@ parser.add_argument('-fast', action='store_true', default=False,
                          'passes with f32 accumulation (~1.6x throughput; '
                          'default stays true-f32 for bit-parity with the '
                          'torch reference grids)')
+parser.add_argument('-swd', action='store_true', default=False,
+                    help='Also score the generated samples against the real '
+                         'dataset with multi-scale sliced Wasserstein '
+                         'distance — the PGGAN paper\'s metric, the same one '
+                         'the quality A/Bs in BASELINE.md use — and print '
+                         'one JSON line')
+parser.add_argument('-dataset_dir', type=str, default='',
+                    help='Real-image directory for -swd '
+                         '(default: config.dataset_dir)')
 options = parser.parse_args()
 
 from neuron_gan_tpu.configs import config
@@ -79,6 +88,30 @@ else:
     if int(meta['image_size']) > init or float(meta['alpha']) < 1.0:
         growth.set_resolution(int(meta['image_size']), float(meta['alpha']))
 
-plot_gen_samples(g_params, model_cfg, growth, n_images=options.n,
-                 filename=output_filepath)
+samples = plot_gen_samples(g_params, model_cfg, growth, n_images=options.n,
+                           filename=output_filepath)
 print(f'Saved {options.n} samples to {output_filepath}')
+
+if options.swd:
+    # Score the grid against the real set with the same metric the quality
+    # A/Bs use (multi-scale sliced Wasserstein distance; PGGAN paper §5).
+    import json
+    import numpy as np
+    from neuron_gan_tpu.data import NeuronDataset
+    from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
+    from neuron_gan_tpu.metrics import swd_multiscale
+
+    res = int(samples.shape[1])
+    dataset = NeuronDataset(options.dataset_dir or config.dataset_dir,
+                            image_size=res, seed=config.seed)
+    spec = AugmentSpec(crop_size=res, out_size=res, translation=0.0,
+                       augment=False)
+    real = np.asarray(augment_batch(jnp.asarray(dataset.images),
+                                    jax.random.PRNGKey(0), spec))
+    levels, mean = swd_multiscale(real, np.asarray(samples),
+                                  jax.random.PRNGKey(123),
+                                  n_patches=2048, n_repeats=8)
+    print(json.dumps({'swd_mean': round(float(mean), 4),
+                      'swd_levels': [round(float(v), 4) for v in levels],
+                      'n_real': len(dataset), 'n_fake': int(options.n),
+                      'resolution': res}))

@@ -55,7 +55,8 @@ def _run_cli(monkeypatch, script, argv):
 
 
 @pytest.mark.slow
-def test_train_eval_cli_roundtrip(tmp_path, monkeypatch, tiny_dataset_dir):
+def test_train_eval_cli_roundtrip(tmp_path, monkeypatch, tiny_dataset_dir,
+                                  capsys):
     out_root = tmp_path / 'run'
     out_root.mkdir()
     cfg1 = tmp_path / 'cfg_session.py'
@@ -94,6 +95,14 @@ def test_train_eval_cli_roundtrip(tmp_path, monkeypatch, tiny_dataset_dir):
              ['-n', '4', '-weights', str(weights),
               '-output', str(out_root / 'images' / 'eval_grid.png')])
     assert (out_root / 'images' / 'eval_grid.png').exists()
+
+    # -swd: quality score vs the real set (one JSON line on stdout)
+    _run_cli(monkeypatch, 'eval.py',
+             ['-n', '4', '-weights', str(weights), '-swd',
+              '-dataset_dir', str(tiny_dataset_dir),
+              '-output', str(out_root / 'images' / 'eval_grid2.png')])
+    out = capsys.readouterr().out
+    assert '"swd_mean"' in out
 
 
 @pytest.mark.slow
