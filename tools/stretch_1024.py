@@ -45,7 +45,9 @@ def main():
     cfg = PGConfig(
         n_gen_features=(128, 64, 32, 32, 16, 16, 8),
         n_dis_features=(8, 16, 16, 32, 32, 64, 128),
-        latent_dim=64, image_size_init=16, packed_min_res=64)
+        latent_dim=64, image_size_init=16, packed_min_res=64,
+        precision=None)  # the shipping training default (fast precision
+                         # + fused upsample-conv; BASELINE.md)
     top = cfg.n_phases - 1
     res = cfg.resolution(top)
     assert res == 1024, res
@@ -68,7 +70,7 @@ def main():
         augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
         sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4, lr_gamma=0.9998,
         lr_boundary=0, lr_cap=1000, alpha_start=0, alpha_step=1e-4,
-        latent_dim=64, ema_beta=args.ema_beta)
+        latent_dim=64, ema_beta=args.ema_beta, fast_augment=True)
 
     runner = make_epoch_runner(cfg, spec, args.epochs, donate=False)
     print('compiling 1024^2 train step...', flush=True)
