@@ -93,25 +93,40 @@ samples = plot_gen_samples(g_params, model_cfg, growth, n_images=options.n,
 print(f'Saved {options.n} samples to {output_filepath}')
 
 if options.swd:
-    # Score the grid against the real set with the same metric the quality
-    # A/Bs use (multi-scale sliced Wasserstein distance; PGGAN paper §5).
+    # Score against the real set with the same metric the quality A/Bs use
+    # (multi-scale sliced Wasserstein distance; PGGAN paper §5).  Scored at
+    # the generator's NATIVE resolution: the saved grid is nearest-upsampled
+    # to image_size_max mid-growth (reference utils.py:598-600), which would
+    # poison the fine SWD bands with blocking artifacts — so mid-growth
+    # checkpoints are re-sampled un-upsampled and compared to reals resized
+    # to the same scale.
     import json
     import numpy as np
     from neuron_gan_tpu.data import NeuronDataset
     from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
     from neuron_gan_tpu.metrics import swd_multiscale
+    from neuron_gan_tpu.utils.plotting import gen_samples
 
-    res = int(samples.shape[1])
+    res = int(growth.image_size)
+    fake = samples
+    if res != int(samples.shape[1]):
+        fake, _ = gen_samples(g_params, model_cfg, growth,
+                              n_images=options.n, seed=0)
+        fake = np.asarray(fake)
     dataset = NeuronDataset(options.dataset_dir or config.dataset_dir,
-                            image_size=res, seed=config.seed)
-    spec = AugmentSpec(crop_size=res, out_size=res, translation=0.0,
+                            image_size=model_cfg.image_size_max,
+                            seed=config.seed,
+                            preload_limit_mb=getattr(
+                                config, 'dataset_preload_limit_mb', 100.0))
+    crop = model_cfg.image_size_max
+    spec = AugmentSpec(crop_size=crop, out_size=res, translation=0.0,
                        augment=False)
-    real = np.asarray(augment_batch(jnp.asarray(dataset.images),
+    real = np.asarray(augment_batch(jnp.asarray(np.asarray(dataset.images)),
                                     jax.random.PRNGKey(0), spec))
-    levels, mean = swd_multiscale(real, np.asarray(samples),
-                                  jax.random.PRNGKey(123),
+    levels, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
                                   n_patches=2048, n_repeats=8)
     print(json.dumps({'swd_mean': round(float(mean), 4),
                       'swd_levels': [round(float(v), 4) for v in levels],
                       'n_real': len(dataset), 'n_fake': int(options.n),
-                      'resolution': res}))
+                      'resolution': res,
+                      'alpha': round(float(min(growth.alpha, 1.0)), 4)}))

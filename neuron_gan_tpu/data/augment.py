@@ -38,13 +38,17 @@ class AugmentSpec:
     translation: float = 0.0  # RandomAffine translate fraction
     augment: bool = True      # False = crop+renorm+resize only
     degrees: float = 180.0
-    # fast=True swaps the resize to the FRONT of the pipeline: the padded
-    # stack is antialias-resized to phase scale first and the affine warp /
-    # jitter / crop run at that scale, shrinking the (gather-bound) warp by
-    # (crop_size/out_size)^2.  Geometrically equivalent but not bit-identical
-    # to the reference's order (warp at full resolution, then resize —
-    # NeuronDataset.py:113-126); gated by config.fast_augment after the SWD
-    # quality A/B (BASELINE.md).  No-op when out_size == crop_size.
+    # fast=True swaps the resize to the FRONT of the pipeline (the padded
+    # stack is antialias-resized to phase scale first, shrinking the
+    # gather-bound warp by (crop_size/out_size)^2) AND fuses the pipeline
+    # tail: color jitter runs BEFORE the warp (contrast mean over the
+    # unwarped padded frame; warp out-of-bounds stays exactly 0) and the
+    # center-crop window is fused into the warp gather.  Geometrically
+    # equivalent but a different augmentation distribution from the
+    # reference's order (warp at full resolution, jitter, then resize —
+    # NeuronDataset.py:113-126) at EVERY phase, including out == crop;
+    # gated by config.fast_augment after the fused-order SWD quality A/Bs
+    # (BASELINE.md).
     fast: bool = False
 
 

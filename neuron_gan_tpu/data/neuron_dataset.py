@@ -185,12 +185,21 @@ class NeuronDataset:
         self.preloaded = est_bytes <= preload_limit_mb * 2 ** 20
         if self.preloaded:
             self.images = np.empty((n, frame, frame, 1), np.float32)
-            self._fill_stack(self.images, pad, frame)
+            self._fill_stack(self.images, frame)
         else:
-            self.images = self._open_or_build_cache(pad, frame)
+            try:
+                self.images = self._open_or_build_cache(frame)
+            except OSError as exc:
+                # read-only dataset mounts can't host the memmap cache —
+                # fall back to the in-RAM path rather than failing
+                print(f'dataset cache unavailable ({exc}); '
+                      'loading the full stack into RAM instead')
+                self.preloaded = True
+                self.images = np.empty((n, frame, frame, 1), np.float32)
+                self._fill_stack(self.images, frame)
 
     # ------------------------------------------------------------- processing
-    def _process_one(self, index: int, pad: int, frame: int) -> np.ndarray:
+    def _process_one(self, index: int, frame: int) -> np.ndarray:
         """One image: decode, Otsu noise stats, pad, noise-fill, to [0,1]."""
         from PIL import Image
         with Image.open(self.filenames[index]) as img:
@@ -216,24 +225,24 @@ class NeuronDataset:
                                          self.images_noise_std[index], rng)
         return _to_unit_float(filled)[..., None]
 
-    def _fill_stack(self, out, pad: int, frame: int):
+    def _fill_stack(self, out, frame: int):
         for i in range(len(self.filenames)):
-            out[i] = self._process_one(i, pad, frame)
+            out[i] = self._process_one(i, frame)
 
     # ---------------------------------------------------------------- caching
-    def _cache_key(self, pad: int, frame: int):
+    def _cache_key(self, frame: int):
         entries = [(os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
                    for f in self.filenames]
-        return {'pad': pad, 'frame': frame, 'seed': self.seed,
-                'files': entries}
+        # frame = max image dim + 2*pad, so it pins the padded geometry
+        return {'frame': frame, 'seed': self.seed, 'files': entries}
 
-    def _open_or_build_cache(self, pad: int, frame: int):
+    def _open_or_build_cache(self, frame: int):
         import json
         cache_dir = os.path.join(self.dir, '.neuron_gan_cache')
         os.makedirs(cache_dir, exist_ok=True)
         stack_path = os.path.join(cache_dir, 'stack.npy')
         meta_path = os.path.join(cache_dir, 'stack.json')
-        key = self._cache_key(pad, frame)
+        key = self._cache_key(frame)
 
         if os.path.exists(stack_path) and os.path.exists(meta_path):
             with open(meta_path) as fh:
@@ -247,7 +256,7 @@ class NeuronDataset:
         out = np.lib.format.open_memmap(
             stack_path, mode='w+', dtype=np.float32,
             shape=(len(self.filenames), frame, frame, 1))
-        self._fill_stack(out, pad, frame)
+        self._fill_stack(out, frame)
         out.flush()
         del out
         with open(meta_path, 'w') as fh:

@@ -47,7 +47,9 @@ def laplacian_pyramid(x, n_levels):
 
 def _extract_patches(x, key, patch_size, n_patches):
     """Random patch descriptors from a level: (n_patches, patch^2 * C),
-    each normalized to zero mean / unit std over its own pixels."""
+    normalized per CHANNEL over the whole descriptor set (mean/std across
+    all patches — Karras et al.'s finalize_descriptors; per-patch
+    normalization would discard patch-contrast information)."""
     b, h, w, c = x.shape
     k_img, k_y, k_x = jax.random.split(key, 3)
     bi = jax.random.randint(k_img, (n_patches,), 0, b)

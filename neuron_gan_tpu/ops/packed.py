@@ -98,18 +98,13 @@ def packed_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
 
 def packed_pixel_norm(x_packed, eps=1e-8, f32_stats=False):
     """PixelNorm over ORIGINAL channels: normalize each (a, b) group's C
-    channels independently.  ``f32_stats`` mirrors ops.pixel_norm: float32
-    statistics + normalization, result cast back to the input dtype."""
+    channels independently (delegates to ops.pixel_norm on the grouped
+    view, so the stats/eps/f32 handling has one implementation)."""
+    from neuron_gan_tpu.ops.pixelnorm import pixel_norm
     b, h, w, c4 = x_packed.shape
     c = c4 // 4
     xg = x_packed.reshape(b, h, w, 4, c)
-    if f32_stats and xg.dtype != jnp.float32:
-        xf = xg.astype(jnp.float32)
-        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-        xg = (xf * lax.rsqrt(ms + eps)).astype(x_packed.dtype)
-        return xg.reshape(b, h, w, c4)
-    ms = jnp.mean(jnp.square(xg), axis=-1, keepdims=True)
-    return (xg * lax.rsqrt(ms + eps)).reshape(b, h, w, c4)
+    return pixel_norm(xg, eps, f32_stats=f32_stats).reshape(b, h, w, c4)
 
 
 def packed_conv1x1(x_packed, params, *, precision=None):

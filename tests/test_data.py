@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -270,3 +272,28 @@ def test_fast_augment_no_augment_path():
     b = np.asarray(augment_batch(jnp.asarray(x), k, fast))
     assert a.shape == b.shape == (2, 8, 8, 1)
     assert np.abs(a - b).mean() < 0.03
+
+
+def test_lazy_cache_read_only_dir_falls_back_to_ram(tiny_dataset_dir,
+                                                    tmp_path, monkeypatch,
+                                                    capsys):
+    """A dataset directory that cannot host the memmap cache (read-only
+    mount) must fall back to the in-RAM path instead of failing."""
+    import shutil
+    import neuron_gan_tpu.data.neuron_dataset as nd
+    d = tmp_path / 'ro_ds'
+    shutil.copytree(tiny_dataset_dir, d, ignore=shutil.ignore_patterns('.*'))
+    ram = NeuronDataset(str(d), image_size=32, seed=3)
+
+    real_makedirs = os.makedirs
+
+    def deny_cache_dir(path, *a, **kw):
+        if '.neuron_gan_cache' in str(path):
+            raise OSError(30, 'Read-only file system', str(path))
+        return real_makedirs(path, *a, **kw)
+
+    monkeypatch.setattr(nd.os, 'makedirs', deny_cache_dir)
+    ds = NeuronDataset(str(d), image_size=32, seed=3, preload_limit_mb=0.0)
+    assert ds.preloaded  # fell back
+    assert 'cache unavailable' in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(ds.images), ram.images)

@@ -262,3 +262,39 @@ def test_train_cli_partial_batches(tmp_path, monkeypatch, tiny_dataset_dir):
     payload, meta = load_pytree_npz(str(weights))
     assert meta['epoch'] == 12
     assert np.isfinite(payload['series']['Loss_real']).all()
+
+
+@pytest.mark.slow
+def test_eval_swd_scores_midgrowth_at_native_resolution(tmp_path, monkeypatch,
+                                                       tiny_dataset_dir,
+                                                       capsys):
+    """eval.py -swd on a mid-growth checkpoint scores at the generator's
+    NATIVE resolution (re-sampled un-upsampled; reals resized to match),
+    not the nearest-upsampled grid resolution."""
+    import json as _json
+    import jax as _jax
+    from neuron_gan_tpu.models import PGConfig, init_generator_pg
+    from neuron_gan_tpu.checkpoint import save_pytree_npz
+
+    cfg = PGConfig(n_gen_features=(8, 4, 4), n_dis_features=(4, 4, 8),
+                   latent_dim=6, image_size_init=4)
+    g = _jax.tree.map(np.asarray,
+                      init_generator_pg(_jax.random.PRNGKey(0), cfg))
+    meta = {'epoch': 3, 'lr': 1e-4, 'image_size': 8, 'alpha': 0.5,
+            'phase': 1, 'ID': 'mg1', 'N_gen_features': [8, 4, 4],
+            'N_dis_features': [4, 4, 8], 'latent_dim': 6,
+            'image_size_init': 4}
+    weights = tmp_path / 'GenDisc_mg1.npz'
+    save_pytree_npz(str(weights), {'state': {'g_params': g},
+                                   'series': {}}, meta)
+
+    _run_cli(monkeypatch, 'eval.py',
+             ['-n', '4', '-weights', str(weights), '-swd',
+              '-dataset_dir', str(tiny_dataset_dir),
+              '-output', str(tmp_path / 'mg_grid.png')])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if '"swd_mean"' in l][0]
+    payload = _json.loads(line)
+    assert payload['resolution'] == 8   # native, not image_size_max (16)
+    assert payload['alpha'] == 0.5
+    assert np.isfinite(payload['swd_mean'])

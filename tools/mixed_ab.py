@@ -6,79 +6,28 @@ growth run, judged by multi-scale sliced Wasserstein distance against the
 real set.
 
 Round 1 established that pure-bfloat16 training collapses; 'mixed' is the
-quality-safe recipe candidate (measured +25% step throughput at 512^2 over
-the f32-activation default — BASELINE.md).  This experiment supplies the
-quantitative evidence for (or against) promoting it.
+quality-safe recipe candidate (+25% step throughput at 512^2 over the
+f32-activation default — BASELINE.md).  Result (recorded there): worse in
+both seeds -> stays opt-in.
 
     python tools/mixed_ab.py [--epochs 2500] [--seed 1] [--out /tmp/mixed_ab]
-
-Prints one JSON line per arm and a final verdict line.  Reuses the training
-harness, synthetic dataset, and SWD metric from precision_ab.py; both arms
-run the shipping fast_augment + matmul_precision='default' configuration.
 """
 
-import argparse
-import json
 import os
 import sys
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
-from precision_ab import build_dataset_dir, run_arm  # noqa: E402
+from precision_ab import make_quality_ab_parser, run_quality_ab  # noqa: E402
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--epochs', type=int, default=2500)
-    ap.add_argument('--transits', type=int, nargs='*', default=[500, 1000, 1500])
-    ap.add_argument('--alpha_step', type=float, default=0.0025)
-    ap.add_argument('--res', type=int, default=128)
-    ap.add_argument('--seed', type=int, default=1)
-    ap.add_argument('--n_fake', type=int, default=64)
-    ap.add_argument('--out', type=str, default='/tmp/mixed_ab')
-    args = ap.parse_args()
-
-    import neuron_gan_tpu
-    neuron_gan_tpu.enable_compilation_cache()
-    import jax
-    import jax.numpy as jnp
-    from neuron_gan_tpu.data import NeuronDataset
-    from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
-    from neuron_gan_tpu.metrics import swd_multiscale
-
-    os.makedirs(args.out, exist_ok=True)
-    ds_dir = os.path.join(args.out, 'dataset')
-    build_dataset_dir(ds_dir, args.res, seed=args.seed)
-    dataset = NeuronDataset(ds_dir, image_size=args.res, seed=args.seed)
-
-    # the real comparison set: crop + renorm, no augmentation
-    spec = AugmentSpec(crop_size=args.res, out_size=args.res,
-                       translation=0.0, augment=False)
-    real = np.asarray(augment_batch(jnp.asarray(dataset.images),
-                                    jax.random.PRNGKey(0), spec))
-
-    results = {}
-    for tag, dtype in (('f32', 'float32'), ('mixed', 'mixed')):
-        fake, train_s = run_arm('default', dataset, args, args.out,
-                                fast_augment=True, tag=tag,
-                                compute_dtype=dtype)
-        lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
-                                  n_patches=2048, n_repeats=8)
-        results[tag] = {'swd_mean': round(mean, 4),
-                        'swd_levels': [round(float(v), 4) for v in lv],
-                        'train_seconds': round(train_s, 1)}
-        print(json.dumps({'arm': tag, **results[tag]}), flush=True)
-
-    d_f = results['f32']['swd_mean']
-    d_m = results['mixed']['swd_mean']
-    print(json.dumps({
-        'verdict': 'mixed_ok' if d_m <= 1.15 * d_f else 'mixed_worse',
-        'f32': d_f, 'mixed': d_m,
-        'speedup': round(results['f32']['train_seconds']
-                         / results['mixed']['train_seconds'], 2)}))
+    args = make_quality_ab_parser('/tmp/mixed_ab').parse_args()
+    run_quality_ab(args,
+                   arms=[('f32', {}),
+                         ('mixed', {'compute_dtype': 'mixed'})],
+                   verdict_ok='mixed_ok', verdict_worse='mixed_worse')
 
 
 if __name__ == '__main__':

@@ -144,6 +144,68 @@ def run_arm(precision_name, dataset, args, out_dir, fast_augment=False,
     return fake, train_s
 
 
+def make_quality_ab_parser(default_out):
+    """Shared CLI for the two-arm quality A/B tools."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--epochs', type=int, default=2500)
+    ap.add_argument('--transits', type=int, nargs='*', default=[500, 1000, 1500])
+    ap.add_argument('--alpha_step', type=float, default=0.0025)
+    ap.add_argument('--res', type=int, default=128)
+    ap.add_argument('--seed', type=int, default=1)
+    ap.add_argument('--n_fake', type=int, default=64)
+    ap.add_argument('--out', type=str, default=default_out)
+    return ap
+
+
+def run_quality_ab(args, arms, verdict_ok, verdict_worse):
+    """Shared body of the two-arm quality A/B tools (mixed_ab, gp_reuse_ab,
+    preset_ab): build the synthetic dataset, train each arm with run_arm,
+    score vs the real set with multi-scale SWD, and print per-arm JSON plus
+    a final verdict line comparing the second arm to the first at the 1.15x
+    bar.  ``arms`` = [(tag, run_arm_kwargs), (tag, run_arm_kwargs)].
+    """
+    import neuron_gan_tpu
+    neuron_gan_tpu.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from neuron_gan_tpu.data import NeuronDataset
+    from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
+    from neuron_gan_tpu.metrics import swd_multiscale
+
+    os.makedirs(args.out, exist_ok=True)
+    ds_dir = os.path.join(args.out, 'dataset')
+    build_dataset_dir(ds_dir, args.res, seed=args.seed)
+    dataset = NeuronDataset(ds_dir, image_size=args.res, seed=args.seed)
+
+    # the real comparison set: crop + renorm, no augmentation
+    spec = AugmentSpec(crop_size=args.res, out_size=args.res,
+                       translation=0.0, augment=False)
+    real = np.asarray(augment_batch(jnp.asarray(np.asarray(dataset.images)),
+                                    jax.random.PRNGKey(0), spec))
+
+    results = {}
+    for tag, kw in arms:
+        kw = {'fast_augment': True, **kw}  # shipping default; arms may override
+        fake, train_s = run_arm('default', dataset, args, args.out,
+                                tag=tag, **kw)
+        lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
+                                  n_patches=2048, n_repeats=8)
+        results[tag] = {'swd_mean': round(mean, 4),
+                        'swd_levels': [round(float(v), 4) for v in lv],
+                        'train_seconds': round(train_s, 1)}
+        print(json.dumps({'arm': tag, **results[tag]}), flush=True)
+
+    (base_tag, _), (cand_tag, _) = arms
+    d_b = results[base_tag]['swd_mean']
+    d_c = results[cand_tag]['swd_mean']
+    print(json.dumps({
+        'verdict': verdict_ok if d_c <= 1.15 * d_b else verdict_worse,
+        base_tag: d_b, cand_tag: d_c,
+        'speedup': round(results[base_tag]['train_seconds']
+                         / results[cand_tag]['train_seconds'], 2)}))
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs', type=int, default=2500)
