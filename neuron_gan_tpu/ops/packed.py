@@ -83,7 +83,11 @@ def pack_conv3x3_weight(w, scale=1.0):
     assert kh == 3 and kw == 3, 'pack_conv3x3_weight expects a 3x3 kernel'
     w = w * jnp.asarray(scale, w.dtype)
     t = jnp.asarray(_PACK_T, w.dtype)
-    out = jnp.einsum('PQcdabts,tsio->PQcdiabo', t, w)
+    # HIGHEST: a default-precision einsum would bf16-round the weights on
+    # TPU, breaking the transform's exactness on the 'highest' parity path
+    # (the op is kernel-sized — precision here costs nothing)
+    out = jnp.einsum('PQcdabts,tsio->PQcdiabo', t, w,
+                     precision=lax.Precision.HIGHEST)
     return out.reshape(3, 3, 4 * ci, 4 * co)
 
 
@@ -126,7 +130,9 @@ def packed_conv1x1(x_packed, params, *, precision=None):
     w = params['w']  # (1, 1, Ci, Co)
     ci, co = w.shape[2], w.shape[3]
     eye = jnp.asarray(np.eye(4, dtype=np.float32), w.dtype)
-    wb = jnp.einsum('gh,xyio->xygiho', eye, w).reshape(1, 1, 4 * ci, 4 * co)
+    wb = jnp.einsum('gh,xyio->xygiho', eye, w,
+                    precision=lax.Precision.HIGHEST  # exact block-diag
+                    ).reshape(1, 1, 4 * ci, 4 * co)
     y = lax.conv_general_dilated(
         x_packed, wb.astype(x_packed.dtype), window_strides=(1, 1),
         padding=[(0, 0), (0, 0)],
@@ -199,7 +205,8 @@ def fuse_up2_conv3x3_weight(w, scale=1.0):
     c = jnp.asarray(_UP2_TAPS, w.dtype)
     w = w * jnp.asarray(scale, w.dtype)
     # W_f[dy,dx,i,(p,q,o)] = sum_{ty,tx} c[p,ty,dy] c[q,tx,dx] w[ty,tx,i,o]
-    wf = jnp.einsum('ptd,qse,tsio->deipqo', c, c, w)
+    wf = jnp.einsum('ptd,qse,tsio->deipqo', c, c, w,
+                    precision=lax.Precision.HIGHEST)  # exact tap composition
     kh, kw, ci, co = w.shape
     return wf.reshape(3, 3, ci, 4 * co)
 

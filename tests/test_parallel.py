@@ -98,12 +98,15 @@ PACKED_BASE = dict(BASE, phase=2, fading=False, alpha_start=0,
 
 
 def test_packed_data_parallel_matches_single_device():
-    # Single epoch, like the dp x tp case below: batch sharding changes the
-    # conv weight-gradient reduction order by ~1-ulp, and Adam's
+    # Single epoch, like the dp x tp case below.  The einsum kernel-pack
+    # transform (ops/packed.py) routes weight gradients through a
+    # dot_general adjoint whose reduction order differs between the
+    # sharded and single-device partitions by ~1-ulp, and Adam's
     # sign-normalizing update amplifies that to lr-scale differences on
-    # near-zero-gradient coordinates within 2 epochs (the chaos analysis in
-    # tests/test_packed.py).  Stats to 1e-5; params to 1e-4 abs — a wrong
-    # collective shows up at ~1e-3+.
+    # near-zero-gradient coordinates within 2 epochs (the chaos analysis
+    # in tests/test_packed.py; the pre-einsum scatter formulation had
+    # exact slice adjoints and passed 2 epochs at 1e-6).  Stats to 1e-5;
+    # params to 1e-4 abs — a wrong collective shows up at ~1e-3+.
     s1, st1 = run(None, n_epochs=1, cfg=PACKED_CFG, base=PACKED_BASE,
                   image_hw=96)
     s2, st2 = run({'data': 4}, n_epochs=1, cfg=PACKED_CFG, base=PACKED_BASE,
