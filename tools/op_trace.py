@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Op-level device-time breakdown of the production train chunk.
+
+Captures a ``jax.profiler.trace`` of one warm 512^2 epoch-chunk call (the
+same runner bench.py times) and prints per-op-category and top-K individual
+op device self-times.  This is the measurement that says where the ~100 ms
+step goes AFTER stage-level decomposition (tools/step_profile.py) — e.g.
+how much is conv MACs vs elementwise pixelnorm chains vs the augmentation
+gather vs kernel-pack scatters.
+
+    python tools/op_trace.py [--phase 5] [--epochs 3] [--top 25]
+
+Parsing uses tensorboard_plugin_profile's raw_to_tool_data on the xplane
+protobuf ('framework_op_stats' tool), which reports device self-time per op
+even through the axon relay.
+"""
+
+import argparse
+import collections
+import glob
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def capture(phase, n_epochs, trace_dir):
+    import jax
+    import jax.numpy as jnp
+    import neuron_gan_tpu
+    neuron_gan_tpu.enable_compilation_cache()
+    from neuron_gan_tpu.models import (
+        PGConfig, init_generator_pg, init_discriminator_pg)
+    from neuron_gan_tpu.train_step import (
+        ChunkSpec, make_epoch_runner, make_optimizer, init_train_state)
+
+    cfg = PGConfig(
+        n_gen_features=(128, 64, 32, 32, 16, 16),
+        n_dis_features=(16, 16, 32, 32, 64, 128),
+        latent_dim=64, image_size_init=16, n_colors=1,
+        packed_min_res=64, precision=None)
+    if phase is None:
+        phase = cfg.n_phases - 1
+    res = cfg.resolution(phase)
+    batch, n_images = 8, 16
+    spec = ChunkSpec(
+        phase=phase, fading=False, n_critic=1, batch_size=batch,
+        n_images=n_images, shuffle=True, crop_size=512, translation=0.05,
+        augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
+        sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
+        lr_gamma=0.9998157, lr_boundary=0, lr_cap=12500, alpha_start=0,
+        alpha_step=1e-4, latent_dim=64, fast_augment=True)
+
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    state = init_train_state(init_generator_pg(kg, cfg),
+                             init_discriminator_pg(kd, cfg), make_optimizer())
+    rng = np.random.default_rng(0)
+    del res  # padded stack is always at the dataset max (512 + 2*128)
+    images = jnp.asarray(rng.random((n_images, 768, 768, 1)).astype(np.float32))
+    runner = make_epoch_runner(cfg, spec, n_epochs=n_epochs, donate=False)
+    state, stats = runner(state, images, jax.random.PRNGKey(0), 1)  # compile
+    np.asarray(stats)
+    with jax.profiler.trace(trace_dir):
+        state, stats = runner(state, images, jax.random.PRNGKey(1),
+                              1 + n_epochs)
+        np.asarray(stats)
+    n_steps = n_epochs * (n_images // batch)
+    return n_steps
+
+
+def report(trace_dir, n_steps, top):
+    # xprof ships pre-protoc-3.19 generated protos; the pure-python
+    # implementation is the documented workaround (slower is fine for
+    # offline parsing).  Must be set before any *_pb2 import.
+    os.environ.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION', 'python')
+    from xprof.convert import raw_to_tool_data as rtd
+    files = glob.glob(os.path.join(trace_dir, '**', '*.xplane.pb'),
+                      recursive=True)
+    assert files, f'no xplane.pb under {trace_dir}'
+    out, _ = rtd.xspace_to_tool_data(files, 'framework_op_stats', {})
+    data = json.loads(out) if isinstance(out, (str, bytes)) else out
+    # The tool returns gviz tables (per-op table first); rows of dicts.
+    table = data[0] if isinstance(data, list) else data
+    cols = [c['label'] for c in table['cols']]
+    rows = [{c: v['v'] for c, v in zip(cols, r['c'])} for r in table['rows']]
+    dev = [r for r in rows if r.get('Host/device') == 'Device']
+    key_t = 'Total self-time (us)'
+    by_cat = collections.Counter()
+    for r in dev:
+        by_cat[r.get('Operation Type', '?')] += float(r[key_t])
+    total = sum(by_cat.values())
+    print(f'# device self-time over {n_steps} steps; total '
+          f'{total / 1e3 / n_steps:.2f} ms/step')
+    print('\n## by category (ms/step)')
+    for cat, us in by_cat.most_common():
+        print(f'{us / 1e3 / n_steps:8.2f}  {cat}')
+    print(f'\n## top {top} ops (ms/step; BW GB/s; bound-by)')
+    dev.sort(key=lambda r: -float(r[key_t]))
+    for r in dev[:top]:
+        print(f"{float(r[key_t]) / 1e3 / n_steps:8.2f}  "
+              f"{float(r.get('Measured Memory BW (GBytes/Sec)', 0)):7.1f}  "
+              f"{str(r.get('Bound by', '?')):4}  "
+              f"{str(r.get('Operation Name', '?'))[-100:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--phase', type=int, default=None)
+    ap.add_argument('--epochs', type=int, default=3)
+    ap.add_argument('--top', type=int, default=25)
+    ap.add_argument('--trace-dir', type=str, default=None)
+    args = ap.parse_args()
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix='op_trace_')
+    n_steps = capture(args.phase, args.epochs, trace_dir)
+    report(trace_dir, n_steps, args.top)
+
+
+if __name__ == '__main__':
+    main()
