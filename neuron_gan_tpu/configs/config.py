@@ -120,6 +120,14 @@ donate_state = True          # Donate train-state buffers to jit (in-place updat
 profile_dir = ''             # If set, capture a jax.profiler trace of one
                              # steady-state training chunk into this directory
                              # (view with TensorBoard / xprof)
+swd_period = 0               # Every N epochs, score 64 generated samples
+                             # against the real set with multi-scale sliced
+                             # Wasserstein distance (the PGGAN paper's
+                             # metric; neuron_gan_tpu/metrics.py) at the
+                             # current native resolution, append to
+                             # logs_dir/SWD_<ID>.jsonl, and plot
+                             # plots_dir/SWD_<ID>.png.  0 disables (the
+                             # reference has no quality metric).
 
 ################################### END OF CONFIGURATION VARIABLES ###################################
 

@@ -108,6 +108,39 @@ def plot_scores(loss_real, loss_fake, filename, g_loss=None, d_loss=None):
     plt.close(fig)
 
 
+def plot_swd(records, filename):
+    """Sample-quality curve PNG from SWD monitor records.
+
+    ``records`` is a list of dicts with keys ``epoch``, ``swd_mean``,
+    ``levels`` (finest band first) and ``resolution`` (the training-time
+    quality series written by train.py's ``swd_period`` monitor — a
+    beyond-reference addition; the metric is neuron_gan_tpu/metrics.py).
+    Resolution changes (growth transitions) are marked: SWD values are only
+    comparable within one resolution regime.
+    """
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    if not records:
+        return
+    epochs = [r['epoch'] for r in records]
+    fig = plt.figure()
+    plt.plot(epochs, [r['swd_mean'] for r in records], marker='o',
+             label='SWD mean (all bands)')
+    plt.plot(epochs, [r['levels'][0] for r in records], marker='.',
+             label='SWD finest band')
+    prev_res = None
+    for r in records:
+        if prev_res is not None and r['resolution'] != prev_res:
+            plt.axvline(r['epoch'], color='gray', ls=':', lw=0.8)
+        prev_res = r['resolution']
+    plt.legend(loc='upper right')
+    plt.xlabel('Epoch')
+    plt.ylabel('Sliced Wasserstein distance (lower is better)')
+    plt.savefig(filename)
+    plt.close(fig)
+
+
 def calculate_grad_norm_hist(grads_tree, grad_min=-30, log_scale=True):
     """|grad| values flattened (+log10), with mean/std (reference utils.py:249-275)."""
     leaves = [np.abs(np.asarray(g)).ravel() for g in jax.tree.leaves(grads_tree)]

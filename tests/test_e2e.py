@@ -265,6 +265,38 @@ def test_train_cli_partial_batches(tmp_path, monkeypatch, tiny_dataset_dir):
 
 
 @pytest.mark.slow
+def test_train_cli_swd_monitor(tmp_path, monkeypatch, tiny_dataset_dir):
+    """config.swd_period fires the training-time quality monitor: a JSONL
+    series in logs_dir and a curve PNG in plots_dir, scored at the native
+    resolution of each growth phase."""
+    import json as _json
+    out_root = tmp_path / 'run_swd'
+    out_root.mkdir()
+    cfg = tmp_path / 'cfg_swd.py'
+    _write_config(cfg, tiny_dataset_dir, out_root,
+                  extra=f"ID = 'swd1'\nswd_period = 4\n"
+                        f"logs_dir = r'{out_root}/logs'\n")
+    _run_cli(monkeypatch, 'train.py', ['--configs', str(cfg)])
+
+    log = out_root / 'logs' / 'SWD_swd1.jsonl'
+    assert log.exists()
+    records = [_json.loads(l) for l in log.read_text().splitlines() if l]
+    # the monitor fires at the end of every chunk that crossed a multiple
+    # of swd_period=4; exact chunk boundaries depend on the growth
+    # schedule, but a 12-epoch run must score at least twice and always at
+    # the run's final epoch
+    epochs = [r['epoch'] for r in records]
+    assert len(epochs) >= 2 and epochs == sorted(epochs)
+    assert epochs[-1] == 12
+    assert all(np.isfinite(r['swd_mean']) for r in records)
+    assert all(len(r['levels']) >= 1 for r in records)
+    # scored at the NATIVE resolution of each epoch's phase (12 is
+    # mid-fade at 16 after the transition at 10)
+    assert records[-1]['resolution'] == 16
+    assert (out_root / 'plots' / 'SWD_swd1.png').exists()
+
+
+@pytest.mark.slow
 def test_eval_swd_scores_midgrowth_at_native_resolution(tmp_path, monkeypatch,
                                                        tiny_dataset_dir,
                                                        capsys):

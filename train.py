@@ -14,6 +14,7 @@ of compilations.
 """
 
 import argparse
+import json
 import os
 import re
 import sys
@@ -117,7 +118,8 @@ from neuron_gan_tpu.train_step import (
 from neuron_gan_tpu.utils import sample_latent_vec, validated_input
 from neuron_gan_tpu.utils.crashdump import save_vars
 from neuron_gan_tpu.utils.monitor import calculate_d_steps
-from neuron_gan_tpu.utils.plotting import plot_gen_samples, plot_scores, plot_grad_norm
+from neuron_gan_tpu.utils.plotting import (
+    gen_samples, plot_gen_samples, plot_scores, plot_grad_norm, plot_swd)
 
 config.print_configs()
 
@@ -353,6 +355,54 @@ def checkpoint_artifacts(epoch, state, growth):
         print(f'grad-norm plot skipped: {exc}')
 
 
+# Training-time sample-quality monitor (beyond-reference addition): every
+# config.swd_period epochs, score 64 seeded samples at the NATIVE training
+# resolution against the real set with multi-scale sliced Wasserstein
+# distance (the PGGAN paper's metric; same scoring conventions as
+# `eval.py -swd`), append to a resume-safe JSONL series, and refresh the
+# quality curve PNG.
+swd_log_filepath = os.path.join(
+    config.logs_dir, 'SWD_{}.jsonl'.format(config.ID))
+swd_plot_filepath = os.path.join(
+    config.plots_dir, 'SWD_{}.png'.format(config.ID))
+swd_records = []
+if config.swd_period > 0:
+    if config.resume and os.path.exists(swd_log_filepath):
+        with open(swd_log_filepath) as fh:
+            swd_records = [json.loads(line) for line in fh if line.strip()]
+        # a resumed run re-trains epochs after the checkpoint; drop (and
+        # rewrite the series without) their now-stale scores
+        swd_records = [r for r in swd_records if r['epoch'] <= checkpoint.epoch]
+    with open(swd_log_filepath, 'w') as fh:
+        for r in swd_records:
+            fh.write(json.dumps(r) + '\n')
+
+
+def swd_monitor(epoch, state, growth):
+    from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
+    from neuron_gan_tpu.metrics import swd_multiscale
+
+    res = int(growth.image_size)
+    fake, _ = gen_samples(state['g_params'], model_cfg, growth,
+                          n_images=64, seed=0)
+    spec = AugmentSpec(crop_size=dataset.image_size_max, out_size=res,
+                       translation=0.0, augment=False)
+    real = np.asarray(augment_batch(images_stack, jax.random.PRNGKey(0), spec))
+    levels, mean = swd_multiscale(real, np.asarray(fake),
+                                  jax.random.PRNGKey(123),
+                                  n_patches=2048, n_repeats=4)
+    rec = {'epoch': int(epoch), 'swd_mean': round(float(mean), 4),
+           'levels': [round(float(v), 4) for v in levels],
+           'resolution': res,
+           'alpha': round(float(min(growth.alpha, 1.0)), 4)}
+    swd_records.append(rec)
+    with open(swd_log_filepath, 'a') as fh:
+        fh.write(json.dumps(rec) + '\n')
+    plot_swd(swd_records, swd_plot_filepath)
+    print('SWD at epoch {}: mean {:.4f} (finest {:.4f}, {}x{})'.format(
+        epoch, mean, levels[0], res, res))
+
+
 def save_checkpoint(epoch, state, growth):
     meta = {
         'lr': config.learning_rate,
@@ -451,11 +501,21 @@ def pggan_train():
                     monitored['G_sim_loss'] = '{: >#7.4g}'.format(stats[i, 5])
                 print(', '.join(s + ':' + v for s, v in monitored.items()))
 
+        chunk_start = epoch
         epoch = chunk_end + 1
         if chunk_end % config.checkpointing_period == 0:
             growth_end = growth_at_epoch(chunk_end)
             save_checkpoint(chunk_end, state, growth_end)
             checkpoint_artifacts(chunk_end, state, growth_end)
+        # quality monitor: fire when this chunk crossed a multiple of
+        # swd_period (chunks need not land exactly on multiples)
+        if config.swd_period > 0 and (
+                chunk_end // config.swd_period
+                > (chunk_start - 1) // config.swd_period):
+            try:
+                swd_monitor(chunk_end, state, growth_at_epoch(chunk_end))
+            except Exception as exc:  # monitoring must never kill training
+                print(f'SWD monitor skipped: {exc}')
 
 
 if __name__ == '__main__':
