@@ -26,7 +26,8 @@ import numpy as np
 TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
-def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True):
+def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
+              shear_warp=False):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -65,7 +66,8 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True):
         augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
         sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
         lr_gamma=0.9998157, lr_boundary=0, lr_cap=12500, alpha_start=0,
-        alpha_step=1e-4, latent_dim=64, fast_augment=fast_augment)
+        alpha_step=1e-4, latent_dim=64, fast_augment=fast_augment,
+        shear_warp=shear_warp)
 
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     g = init_generator_pg(kg, cfg)
@@ -285,7 +287,7 @@ if __name__ == '__main__':
                           'vs_baseline': None}))
         sys.exit(0)
 
-    value = bench_tpu()
+    value = bench_tpu(shear_warp='--shear' in sys.argv)
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
     print(json.dumps({

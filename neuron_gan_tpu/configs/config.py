@@ -109,6 +109,18 @@ fast_augment = True          # Run the augmentation warp at phase resolution
                              # quality A/B showed no regression (fast was
                              # never worse); set False for the reference's
                              # exact augmentation distribution.
+shear_warp = False           # Replace the augmentation's point-gather
+                             # affine warp with a 3-pass integer-shift
+                             # SHEAR rotation (quarter turns stay exact
+                             # pixel permutations).  ~2x faster warp on
+                             # TPU (the warp is the single largest op in
+                             # the step; BASELINE.md), but pixels round
+                             # once per shear pass instead of once per
+                             # point — a slightly different
+                             # nearest-sampling distribution than
+                             # torchvision RandomAffine.  Requires
+                             # fast_augment; see BASELINE.md for the SWD
+                             # quality A/B.
 gp_reuse_fakes = False       # Reuse the critic-loss fake batch for the
                              # gradient-penalty interpolates (the original
                              # WGAN-GP formulation) instead of the

@@ -50,6 +50,17 @@ class AugmentSpec:
     # gated by config.fast_augment after the fused-order SWD quality A/Bs
     # (BASELINE.md).
     fast: bool = False
+    # shear=True (requires fast) replaces the nearest-gather affine warp
+    # with a 3-pass integer-shift SHEAR rotation (quarter turns factored
+    # out as exact permutations): the same rotation+translation+flip
+    # family, but pixels round once per shear pass instead of once per
+    # point — a slightly different nearest-sampling distribution, in
+    # exchange for replacing the random point gather (the single largest
+    # op in the step; BASELINE.md op trace) with static-offset shift
+    # passes that run ~2x faster on TPU.  Exactly equal to the gather
+    # warp whenever the residual angle is 0 (pure quarter turns +
+    # translation + flip).  Gated by config.shear_warp.
+    shear: bool = False
 
 
 def _affine_warp_nearest(img, angle_deg, tx, ty, flip, window=None):
@@ -101,6 +112,130 @@ def _affine_warp_nearest(img, angle_deg, tx, ty, flip, window=None):
     return jnp.where(valid[..., None], out, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Shear-decomposed nearest rotation (AugmentSpec.shear)
+#
+# R(-t') = Sx(a) Sy(b) Sx(a) with a = tan(t'/2), b = -sin(t') for the
+# residual angle t' in [-45deg, 45deg] after factoring the nearest quarter
+# turn (an exact pixel permutation).  Each shear is a per-row integer shift
+# with zero fill, realized as log2(max_shift) "butterfly" stages of
+# static-offset selects — no gathers, so every stage is a fused
+# bandwidth-speed pass (the per-row dynamic_slice and take_along_axis
+# formulations measured 3.5-32x SLOWER than the point gather; BASELINE.md
+# "shear-warp probe").  Gather-pass composition (out[y,x] = in[y, x+s(y)]
+# per x-pass, out[y,x] = in[y+s(x), x] per y-pass):
+#
+#   s1(y) = round(a*y + dx - a*dy)     x-pass
+#   s2(x) = round(b*x + dy)            y-pass
+#   s3(y) = round(a*y)                 x-pass
+#
+# with (dx, dy) = -R(-t')*(tx, ty) reproduces source = R(-t')(u - t)
+# exactly up to the per-pass rounding (and bit-exactly when t' == 0).
+# ---------------------------------------------------------------------------
+
+def _shift_static(c, step):
+    """out[..., x] = c[..., x+step] with zero fill (static step)."""
+    if step == 0:
+        return c
+    if step > 0:
+        z = jnp.zeros(c.shape[:-1] + (step,), c.dtype)
+        return jnp.concatenate([c[..., step:], z], axis=-1)
+    z = jnp.zeros(c.shape[:-1] + (-step,), c.dtype)
+    return jnp.concatenate([z, c[..., :step]], axis=-1)
+
+
+def _shift_rows(c, s, max_shift):
+    """Per-row shift with zero fill: out[..., y, x] = c[..., y, x+s[y]].
+
+    ``s`` (rows,) int32 in [-max_shift, max_shift]; butterfly over the
+    magnitude bits, each stage one fused select over three static-offset
+    views."""
+    s = jnp.clip(s, -max_shift, max_shift)
+    pos = (s > 0)[:, None]
+    neg = (s < 0)[:, None]
+    mag = jnp.abs(s)
+    for b in range(max(1, int(max_shift).bit_length())):
+        step = 1 << b
+        bit = ((mag >> b) & 1).astype(bool)[:, None]
+        c = jnp.where(bit & pos, _shift_static(c, step),
+                      jnp.where(bit & neg, _shift_static(c, -step), c))
+    return c
+
+
+def _quarter_turn(img, m):
+    """img viewed through R(-90*m) about the (p-1)/2 center (exact pixel
+    permutation of a square array; ``m`` is a traced int in [0, 4))."""
+    return jax.lax.switch(m, [
+        lambda x: x,
+        lambda x: x.T[:, ::-1],    # img_k[iy, ix] = img[(P-1)-ix, iy]
+        lambda x: x[::-1, ::-1],   # img_k[iy, ix] = img[(P-1)-iy, (P-1)-ix]
+        lambda x: x.T[::-1, :],    # img_k[iy, ix] = img[ix, (P-1)-iy]
+    ], img)
+
+
+def _shear_geometry(p, crop, max_t):
+    """Static canvas geometry: (canvas, m1, m2) — canvas size and per-pass
+    shift bounds.  half >= p/2 holds the source frame; half >= crop + slack
+    holds every intermediate position of content that lands in the crop
+    window (the y-pass output y IS the final y, and |v2y| <= crop/2 +
+    sin(45)*|v3x| + |d| <= crop + |t| — see the derivation in tests)."""
+    t_px = int(math.ceil(max_t)) + 2
+    half = max(p // 2, crop + t_px + 8)
+    canvas = 2 * half + (p % 2)          # keep canvas - p even
+    if (canvas - p) % 2:
+        canvas += 1
+    m1 = int(0.41422 * (canvas - 1) / 2 + 1.5 * t_px) + 2
+    m2 = int(0.70711 * (canvas - 1) / 2 + 1.5 * t_px) + 2
+    return canvas, m1, m2
+
+
+def _shear_warp_nearest(img, angle_deg, tx, ty, flip, window, max_t):
+    """Shear-warp one (P, P, C) image; same parameter conventions as
+    _affine_warp_nearest with a mandatory crop ``window=(top, size)`` and a
+    STATIC translation bound ``max_t`` (pixels) for the canvas geometry.
+
+    Requires (P - size) even (true for every pipeline geometry: the pad is
+    size//4 per side and phase scaling preserves the proportion), so the
+    vertical flip is exactly a row reversal of the cropped output.
+    """
+    p = img.shape[0]
+    top, s = window
+    assert (p - s) % 2 == 0, 'shear warp needs an even crop margin'
+    rad = angle_deg * (math.pi / 180.0)
+    quarter = jnp.round(rad / (math.pi / 2.0))
+    m = jnp.mod(quarter.astype(jnp.int32), 4)
+    res = rad - quarter * (math.pi / 2.0)       # residual in [-45deg, 45deg]
+    a = jnp.tan(res / 2.0)
+    b = -jnp.sin(res)
+    cos_r, sin_r = jnp.cos(res), jnp.sin(res)
+    dx = -(cos_r * tx + sin_r * ty)
+    dy = sin_r * tx - cos_r * ty
+
+    canvas, m1, m2 = _shear_geometry(p, s, max_t)
+    half_c = (canvas - 1) / 2.0
+    pad = (canvas - p) // 2
+
+    x = img.transpose(2, 0, 1)                  # channels to front
+    x = jax.vmap(_quarter_turn, in_axes=(0, None))(x, m)
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
+
+    ys = jnp.arange(canvas, dtype=jnp.float32) - half_c
+    s1 = jnp.round(a * ys + (dx - a * dy)).astype(jnp.int32)
+    s2 = jnp.round(b * ys + dy).astype(jnp.int32)
+    s3 = jnp.round(a * ys).astype(jnp.int32)
+
+    x = _shift_rows(x, s1, m1)                  # x-pass
+    x = x.transpose(0, 2, 1)
+    x = _shift_rows(x, s2, m2)                  # y-pass
+    x = x.transpose(0, 2, 1)
+    x = _shift_rows(x, s3, m1)                  # x-pass
+
+    c0 = top + pad
+    out = x[:, c0:c0 + s, c0:c0 + s]
+    out = jnp.where(flip, out[:, ::-1, :], out)
+    return out.transpose(1, 2, 0)
+
+
 def _color_jitter(img, key):
     """brightness/contrast jitter, random order, clamp [0,1] per blend."""
     k_order, k_b, k_c = jax.random.split(key, 3)
@@ -142,8 +277,13 @@ def _augment_one(img, key, spec: AugmentSpec, fused=False):
         flip = jax.random.bernoulli(k_f)
         if fused:
             img = _color_jitter(img, k_j)
-            img = _affine_warp_nearest(img, angle, tx, ty, flip,
-                                       window=(top, s))
+            if spec.shear:
+                img = _shear_warp_nearest(img, angle, tx, ty, flip,
+                                          window=(top, s),
+                                          max_t=spec.translation * p)
+            else:
+                img = _affine_warp_nearest(img, angle, tx, ty, flip,
+                                           window=(top, s))
             return img * 2.0 - 1.0
         img = _affine_warp_nearest(img, angle, tx, ty, flip)
         img = _color_jitter(img, k_j)

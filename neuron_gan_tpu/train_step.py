@@ -166,6 +166,11 @@ class ChunkSpec:
     # Run the augmentation warp at phase scale (AugmentSpec.fast) —
     # config.fast_augment
     fast_augment: bool = False
+    # Replace the point-gather affine warp with the 3-pass integer-shift
+    # shear rotation (quarter turns exact; ~2x faster warp on TPU — see
+    # BASELINE.md; a slightly different nearest-sampling distribution,
+    # SWD-gated).  Only affects the fast_augment path.  config.shear_warp
+    shear_warp: bool = False
     # Reuse the critic-loss fake batch (z1) for the gradient-penalty
     # interpolates instead of drawing a fresh z2 — the original WGAN-GP
     # formulation (Gulrajani et al. penalize the same fake minibatch); the
@@ -207,7 +212,8 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
     out_size = cfg.resolution(spec.phase)
     aug_spec = AugmentSpec(crop_size=spec.crop_size, out_size=out_size,
                            translation=spec.translation, augment=spec.augment,
-                           fast=spec.fast_augment)
+                           fast=spec.fast_augment,
+                           shear=spec.shear_warp and spec.fast_augment)
     opt = make_optimizer(spec.beta1, spec.rmsprop)
     B = spec.batch_size
 

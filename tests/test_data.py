@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from neuron_gan_tpu.data import NeuronDataset, threshold_multiotsu
 from neuron_gan_tpu.data.augment import (
-    AugmentSpec, augment_batch, _affine_warp_nearest,
+    AugmentSpec, augment_batch, _affine_warp_nearest, _shear_warp_nearest,
 )
 from neuron_gan_tpu.ops.resize import resize_antialias
 
@@ -297,3 +297,124 @@ def test_lazy_cache_read_only_dir_falls_back_to_ram(tiny_dataset_dir,
     assert ds.preloaded  # fell back
     assert 'cache unavailable' in capsys.readouterr().out
     np.testing.assert_array_equal(np.asarray(ds.images), ram.images)
+
+
+# ---------------------------------------------------------------- shear warp
+
+def _shear_reference(img_hw, angle_deg, tx, ty, flip, window):
+    """Independent per-pixel evaluation of the shear warp's composition:
+    quarter-turn permutation, then the three integer-shift passes
+    s3 (x), s2 (y), s1 (x) evaluated pointwise with f32 shift arithmetic
+    (matching the jitted path's dtype so rounding boundaries agree)."""
+    p = img_hw.shape[0]
+    top, s = window
+    f32 = np.float32
+    rad = f32(angle_deg) * f32(np.pi / 180.0)
+    quarter = np.round(rad / f32(np.pi / 2.0))
+    m = int(quarter) % 4
+    res = f32(rad - quarter * f32(np.pi / 2.0))
+    a = f32(np.tan(res / 2.0))
+    b = f32(-np.sin(res))
+    cos_r, sin_r = f32(np.cos(res)), f32(np.sin(res))
+    dx = f32(-(cos_r * tx + sin_r * ty))
+    dy = f32(sin_r * tx - cos_r * ty)
+
+    if m == 1:
+        im2 = img_hw.T[:, ::-1]
+    elif m == 2:
+        im2 = img_hw[::-1, ::-1]
+    elif m == 3:
+        im2 = img_hw.T[::-1, :]
+    else:
+        im2 = img_hw
+    c = (p - 1) / 2.0
+    out = np.zeros((s, s), img_hw.dtype)
+    for r in range(s):
+        yc = f32((r + top) - c)
+        for q in range(s):
+            xc = f32((q + top) - c)
+            x3 = xc + np.round(f32(a * yc))
+            y1 = yc + np.round(f32(b * x3 + dy))
+            x0 = x3 + np.round(f32(a * y1 + (dx - a * dy)))
+            iy, ix = int(y1 + c), int(x0 + c)
+            if 0 <= iy < p and 0 <= ix < p:
+                out[r, q] = im2[iy, ix]
+    return out[::-1] if flip else out
+
+
+def test_shear_warp_matches_reference_composition():
+    """Butterfly shift passes + canvas geometry == pointwise composition,
+    bit-for-bit, over general angles/translations/flips (validates both
+    the bit-decomposed shifts and that no crop-relevant content ever
+    leaves the static canvas)."""
+    rng = np.random.default_rng(11)
+    img = rng.random((24, 24, 1)).astype(np.float32)
+    top, s = 4, 16
+    for angle, tx, ty, flip in [(37.0, 2.0, -1.0, False), (-120.0, -3.0, 3.0, True),
+                                (179.0, 1.0, 0.0, False), (-44.0, 0.0, 2.0, True),
+                                (45.5, -2.0, -2.0, False), (101.3, 3.0, 1.0, True)]:
+        got = np.asarray(_shear_warp_nearest(
+            jnp.asarray(img), jnp.float32(angle), jnp.float32(tx),
+            jnp.float32(ty), jnp.asarray(flip), window=(top, s), max_t=3.0))
+        want = _shear_reference(img[..., 0], angle, tx, ty, flip, (top, s))
+        np.testing.assert_array_equal(got[..., 0], want,
+                                      err_msg=f'angle={angle}')
+
+
+def test_shear_warp_exact_at_quarter_turns():
+    """With zero residual angle the shear warp is a pure permutation and
+    must equal the gather warp exactly (quarter turns x integer
+    translations x flip)."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((24, 24, 1)).astype(np.float32))
+    top, s = 4, 16
+    for angle in [0.0, 90.0, -90.0, 180.0, -180.0]:
+        for tx, ty, flip in [(0.0, 0.0, False), (2.0, -3.0, True),
+                             (-1.0, 1.0, False)]:
+            gather = np.asarray(_affine_warp_nearest(
+                img, jnp.float32(angle), jnp.float32(tx), jnp.float32(ty),
+                jnp.asarray(flip), window=(top, s)))
+            shear = np.asarray(_shear_warp_nearest(
+                img, jnp.float32(angle), jnp.float32(tx), jnp.float32(ty),
+                jnp.asarray(flip), window=(top, s), max_t=3.0))
+            np.testing.assert_array_equal(gather, shear,
+                                          err_msg=f'angle={angle} t=({tx},{ty})')
+
+
+def test_shear_warp_close_to_gather_warp():
+    """General angles: the two nearest-sampling distributions pick the same
+    source pixel almost everywhere (they differ only where the per-pass
+    rounding crosses a cell boundary)."""
+    x = _smooth_stack(b=1, p=48)[0]
+    img = jnp.asarray(x)
+    top, s = 8, 32
+    diff_frac = []
+    for angle in [15.0, 37.0, -62.0, 118.0, -170.0]:
+        gather = np.asarray(_affine_warp_nearest(
+            img, jnp.float32(angle), jnp.float32(1.0), jnp.float32(-2.0),
+            jnp.asarray(False), window=(top, s)))
+        shear = np.asarray(_shear_warp_nearest(
+            img, jnp.float32(angle), jnp.float32(1.0), jnp.float32(-2.0),
+            jnp.asarray(False), window=(top, s), max_t=2.0))
+        assert np.corrcoef(gather.ravel(), shear.ravel())[0, 1] > 0.97
+        diff_frac.append(np.mean(np.abs(gather - shear) > 1e-6))
+    assert np.mean(diff_frac) < 0.35  # same pixel for the large majority
+
+
+def test_shear_augment_batch_pipeline():
+    """Full fast+shear pipeline: shapes, determinism, range, and key
+    consumption identical to the gather fast path (same draws)."""
+    x = _smooth_stack(b=3, p=24)
+    spec_g = AugmentSpec(crop_size=16, out_size=8, translation=0.05,
+                         augment=True, fast=True)
+    spec_s = AugmentSpec(crop_size=16, out_size=8, translation=0.05,
+                         augment=True, fast=True, shear=True)
+    k = jax.random.PRNGKey(4)
+    a = np.asarray(augment_batch(jnp.asarray(x), k, spec_s))
+    b = np.asarray(augment_batch(jnp.asarray(x), k, spec_s))
+    g = np.asarray(augment_batch(jnp.asarray(x), k, spec_g))
+    assert a.shape == g.shape == (3, 8, 8, 1)
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= -1.0 - 1e-6 and a.max() <= 1.0 + 1e-6
+    # same parameter draws: the two warps stay close on smooth images
+    assert np.abs(a - g).mean() < 0.1

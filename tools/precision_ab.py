@@ -73,7 +73,8 @@ def build_dataset_dir(path, res, seed=0, n=16):
 
 
 def run_arm(precision_name, dataset, args, out_dir, fast_augment=False,
-            tag=None, compute_dtype='float32', gp_reuse_fakes=False):
+            tag=None, compute_dtype='float32', gp_reuse_fakes=False,
+            shear_warp=False):
     import jax
     import jax.numpy as jnp
     from neuron_gan_tpu.models import (
@@ -119,7 +120,8 @@ def run_arm(precision_name, dataset, args, out_dir, fast_augment=False,
             lr_cap=int(sched.phase_lens[lrp] // 2),
             lr_prev_final=float(sched.lr_at(start)),
             alpha_start=f0, alpha_step=args.alpha_step, latent_dim=64,
-            fast_augment=fast_augment, gp_reuse_fakes=gp_reuse_fakes)
+            fast_augment=fast_augment, gp_reuse_fakes=gp_reuse_fakes,
+            shear_warp=shear_warp)
         runner = make_epoch_runner(cfg, spec, end - start + 1, donate=True)
         state, stats = runner(state, images_stack, run_key, start)
         stats = np.asarray(stats)
