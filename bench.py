@@ -27,7 +27,7 @@ TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
-              shear_warp=False):
+              shear_warp=False, compute_dtype='float32', gp_reuse_fakes=False):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -55,6 +55,7 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
         precision=None,     # = config.matmul_precision 'default' (bf16 conv
                             # passes, f32 accumulation) — the shipping
                             # training default; quality A/B in BASELINE.md
+        compute_dtype=compute_dtype,
     )
     if phase is None:
         phase = cfg.n_phases - 1
@@ -67,7 +68,7 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
         sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
         lr_gamma=0.9998157, lr_boundary=0, lr_cap=12500, alpha_start=0,
         alpha_step=1e-4, latent_dim=64, fast_augment=fast_augment,
-        shear_warp=shear_warp)
+        shear_warp=shear_warp, gp_reuse_fakes=gp_reuse_fakes)
 
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     g = init_generator_pg(kg, cfg)
@@ -285,6 +286,20 @@ if __name__ == '__main__':
                           'value': round(ips, 2),
                           'unit': 'images/sec (20-image grids, 512x512)',
                           'vs_baseline': None}))
+        sys.exit(0)
+
+    if '--preset' in sys.argv:
+        # the config_fast preset: every measured opt-in speed knob together
+        # (compute_dtype='mixed', gp_reuse_fakes, shear_warp — BASELINE.md)
+        value = bench_tpu(shear_warp=True, compute_dtype='mixed',
+                          gp_reuse_fakes=True)
+        baseline = TORCH_REF_STEPS_PER_SEC
+        print(json.dumps({
+            'metric': 'wgan_gp_train_steps_per_sec_512_config_fast',
+            'value': round(value, 3),
+            'unit': 'steps/sec (G+D, batch 8, 512x512, incl. on-device aug)',
+            'vs_baseline': round(value / baseline, 2) if baseline else None,
+        }))
         sys.exit(0)
 
     value = bench_tpu(shear_warp='--shear' in sys.argv)

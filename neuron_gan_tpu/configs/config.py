@@ -119,8 +119,11 @@ shear_warp = False           # Replace the augmentation's point-gather
                              # point — a slightly different
                              # nearest-sampling distribution than
                              # torchvision RandomAffine.  Requires
-                             # fast_augment; see BASELINE.md for the SWD
-                             # quality A/B.
+                             # fast_augment.  Stays opt-in: the 2-seed SWD
+                             # quality A/B split (better on seed 1, worse
+                             # on seed 2 — BASELINE.md), outside the
+                             # never-worse promotion bar.  Part of the
+                             # config_fast preset.
 gp_reuse_fakes = False       # Reuse the critic-loss fake batch for the
                              # gradient-penalty interpolates (the original
                              # WGAN-GP formulation) instead of the

@@ -4,7 +4,7 @@ speed knob (BASELINE.md).
 The shipping defaults already include all speedups that passed the SWD
 quality bar (packed layout, matmul_precision='default', fused fast
 augmentation — 8.76 G+D steps/s @512^2 on one TPU v5e chip, ~690x the torch
-reference on available hardware).  This preset additionally enables the two
+reference on available hardware).  This preset additionally enables the three
 measured levers that trade some sample quality for speed (each lost one of
 its two quality-A/B seeds — see BASELINE.md for the numbers):
 
@@ -13,9 +13,12 @@ its two quality-A/B seeds — see BASELINE.md for the numbers):
 * ``gp_reuse_fakes=True``    — gradient-penalty interpolates reuse the
   critic-loss fake batch (the original WGAN-GP formulation; the reference
   draws fresh latents per loss): +13%.
+* ``shear_warp=True``        — 3-pass integer-shift shear rotation instead
+  of the point-gather affine warp (pixels round once per shear pass instead
+  of once per point): +14%.
 
-Together: 12.0 G+D steps/s @512^2 (batch 8, incl. on-device augmentation),
-+37% over the quality-default configuration.
+Together: 14.6 G+D steps/s @512^2 (batch 8, incl. on-device augmentation),
++47% over the quality-default configuration (9.96).
 
     python train.py --configs config_fast
 """
@@ -77,3 +80,4 @@ N_dis_features = [16, 16, 32, 32, 64, 128]
 # Speed/quality trade knobs (see module docstring; defaults keep these off)
 compute_dtype = 'mixed'
 gp_reuse_fakes = True
+shear_warp = True
