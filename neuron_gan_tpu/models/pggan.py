@@ -259,6 +259,18 @@ def _want_packed(cfg: PGConfig, res: int) -> bool:
     return cfg.packed_min_res is not None and res >= cfg.packed_min_res
 
 
+def _packed_lrelu_pn(x, cfg: PGConfig):
+    """LeakyReLU -> grouped PixelNorm in the packed domain.  The fast
+    precision path uses the einsum (MXU) formulation — no grouped-view
+    reshape, einsum adjoints; 'highest' keeps the reduce formulation whose
+    summation order bit-matches the unpacked pixel_norm (parity tests)."""
+    from neuron_gan_tpu.ops import packed as pk
+    y = leaky_relu(x, cfg.neg_slope)
+    if cfg.precision is None:
+        return pk.packed_pixel_norm_mxu(y, f32_stats=cfg.mixed)
+    return pk.packed_pixel_norm(y, f32_stats=cfg.mixed)
+
+
 def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
     """Run generator block i; returns (x, packed_out).  Block i's convs run
     at out_res = resolution(i+1); packed iff out_res >= packed_min_res."""
@@ -282,12 +294,10 @@ def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
             x = pk.space_to_depth(upsample2_bilinear(x))
         x = pk.packed_equalized_conv3x3(x, p['conv1'], neg_slope=cfg.neg_slope,
                                         precision=cfg.precision)
-    x = pk.packed_pixel_norm(leaky_relu(x, cfg.neg_slope),
-                             f32_stats=cfg.mixed)
-    x = pk.packed_pixel_norm(leaky_relu(
+    x = _packed_lrelu_pn(x, cfg)
+    x = _packed_lrelu_pn(
         pk.packed_equalized_conv3x3(x, p['conv2'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg.neg_slope),
-        f32_stats=cfg.mixed)
+                                    precision=cfg.precision), cfg)
     return x, True
 
 
@@ -371,14 +381,12 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
                                        precision=cfg.precision), cfg)
         return y, False
     y = pk.space_to_depth(y)
-    y = pk.packed_pixel_norm(leaky_relu(
+    y = _packed_lrelu_pn(
         pk.packed_equalized_conv3x3(y, p['conv1'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg.neg_slope),
-        f32_stats=cfg.mixed)
-    y = pk.packed_pixel_norm(leaky_relu(
+                                    precision=cfg.precision), cfg)
+    y = _packed_lrelu_pn(
         pk.packed_equalized_conv3x3(y, p['conv2'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg.neg_slope),
-        f32_stats=cfg.mixed)
+                                    precision=cfg.precision), cfg)
     return y, True
 
 

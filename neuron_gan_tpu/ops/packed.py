@@ -123,6 +123,41 @@ def packed_pixel_norm(x_packed, eps=1e-8, f32_stats=False):
     return pixel_norm(xg, eps, f32_stats=f32_stats).reshape(b, h, w, c4)
 
 
+def _group_mat(c4):
+    """(4C, 4) constant 0/1 matrix: column g marks parity group g's
+    channels (packed channel order is parity-major, see module docstring)."""
+    c = c4 // 4
+    g = np.zeros((c4, 4), np.float32)
+    g[np.arange(c4), np.arange(c4) // c] = 1.0
+    return g
+
+
+def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False):
+    """Grouped PixelNorm without materializing the (..., 4, C) view:
+    per-group mean-of-squares via one tiny 0/1 einsum (4C -> 4) and the
+    broadcast back via its transpose (4 -> 4C).
+
+    Same math as ``packed_pixel_norm`` with a dot-product summation order;
+    both einsums run at HIGHEST precision so the normalization statistics
+    stay effectively float32 (the 'mixed' recipe deliberately keeps
+    PixelNorm stats full-precision — BASELINE.md), and the adjoint of an
+    einsum-against-a-constant is an einsum (cheap under the GP
+    double-backward; the ``jnp.take``-style gather adjoints are not).
+    Used on the fast-precision path; ``precision='highest'`` keeps the
+    reduce formulation whose summation order bit-matches the unpacked
+    ``pixel_norm``."""
+    c4 = x_packed.shape[-1]
+    xf = (x_packed.astype(jnp.float32)
+          if f32_stats and x_packed.dtype != jnp.float32 else x_packed)
+    g = jnp.asarray(_group_mat(c4), jnp.float32)
+    m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(xf), g,
+                    precision=lax.Precision.HIGHEST) * (4.0 / c4)
+    r = lax.rsqrt(m4 + eps)
+    out = xf * jnp.einsum('bhwg,kg->bhwk', r, g.astype(r.dtype),
+                          precision=lax.Precision.HIGHEST)
+    return out.astype(x_packed.dtype)
+
+
 def packed_conv1x1(x_packed, params, *, precision=None):
     """1x1 conv (to_rgb/from_rgb) applied per parity group: block-diagonal
     1x1 conv in the packed domain (one einsum against eye(4) — same

@@ -63,6 +63,44 @@ def test_packed_pixel_norm_exact():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_packed_pixel_norm_mxu_matches_reduce():
+    """The einsum (MXU) grouped PixelNorm is the same math as the reduce
+    formulation up to summation order (fast path; BASELINE.md), including
+    first and second derivatives (the D-side epilogue sits under the GP
+    double backward)."""
+    import jax
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(pk.packed_pixel_norm_mxu(x)),
+        np.asarray(pk.packed_pixel_norm(x)), rtol=2e-6, atol=2e-6)
+    # mixed-mode f32 stats
+    np.testing.assert_allclose(
+        np.asarray(pk.packed_pixel_norm_mxu(
+            x.astype(jnp.bfloat16), f32_stats=True).astype(jnp.float32)),
+        np.asarray(pk.packed_pixel_norm(
+            x.astype(jnp.bfloat16), f32_stats=True).astype(jnp.float32)),
+        rtol=1e-6, atol=1e-6)
+
+    def scalar(fn, v):
+        return jnp.sum(jnp.sin(fn(v)))
+
+    g_a = jax.grad(lambda v: scalar(pk.packed_pixel_norm_mxu, v))(x)
+    g_b = jax.grad(lambda v: scalar(pk.packed_pixel_norm, v))(x)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=2e-5, atol=2e-5)
+    # grad-of-grad-norm, the GP pattern
+    def gnorm(f):
+        def inner(v):
+            g = jax.grad(lambda u: scalar(f, u))(v)
+            return jnp.sum(jnp.square(g))
+        return inner
+    h_a = jax.grad(gnorm(pk.packed_pixel_norm_mxu))(x)
+    h_b = jax.grad(gnorm(pk.packed_pixel_norm))(x)
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_packed_avg_pool_exact():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
