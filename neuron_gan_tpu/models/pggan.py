@@ -369,7 +369,10 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
     p = params['blocks'][i]
     half = entry_res // 2
     if packed_in:
-        y = pk.packed_avg_pool2(y)      # unpacked at entry_res/2
+        # unpacked at entry_res/2; einsum form on the fast path (no
+        # grouped-view reshape), reduce form bit-matches avg_pool
+        y = (pk.packed_avg_pool2_mxu(y) if cfg.precision is None
+             else pk.packed_avg_pool2(y))
     else:
         y = avg_pool(y, 2)
     if not _want_packed(cfg, half):

@@ -185,6 +185,22 @@ def packed_avg_pool2(x_packed):
     return x_packed.reshape(b, h, w, 4, c).mean(axis=3)
 
 
+def packed_avg_pool2_mxu(x_packed):
+    """``packed_avg_pool2`` without materializing the (..., 4, C) view: the
+    parity-group mean is one tiny einsum against a constant 0.25-valued
+    (4C, C) matrix (same rationale as ``packed_pixel_norm_mxu`` — the
+    grouped-view reshape showed up as a materialized HBM copy in the op
+    trace, and the einsum-against-constant adjoint is an einsum).  Used on
+    the fast-precision path; summation order differs from the reduce form
+    by ~1 ulp."""
+    c4 = x_packed.shape[-1]
+    c = c4 // 4
+    m = np.zeros((c4, c), np.float32)
+    m[np.arange(c4), np.arange(c4) % c] = 0.25
+    return jnp.einsum('bhwk,ki->bhwi', x_packed, jnp.asarray(m, jnp.float32),
+                      precision=lax.Precision.HIGHEST).astype(x_packed.dtype)
+
+
 def packed_upsample2_bilinear(x_packed):
     """x2 bilinear upsample in the packed domain.
 

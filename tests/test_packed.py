@@ -110,6 +110,38 @@ def test_packed_avg_pool_exact():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_packed_avg_pool_mxu_matches_reduce():
+    """The einsum (MXU) parity-group mean matches the reduce formulation
+    up to summation order (fast path), including first and second
+    derivatives (it sits under the GP double backward on the D side)."""
+    import jax
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 12)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(pk.packed_avg_pool2_mxu(x)),
+        np.asarray(pk.packed_avg_pool2(x)), rtol=2e-6, atol=2e-6)
+    # dtype is preserved (mixed path feeds bf16 activations through)
+    assert pk.packed_avg_pool2_mxu(x.astype(jnp.bfloat16)).dtype == jnp.bfloat16
+
+    def scalar(fn, v):
+        return jnp.sum(jnp.sin(fn(v)))
+
+    g_a = jax.grad(lambda v: scalar(pk.packed_avg_pool2_mxu, v))(x)
+    g_b = jax.grad(lambda v: scalar(pk.packed_avg_pool2, v))(x)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=2e-5, atol=2e-5)
+
+    def gnorm(f):
+        def inner(v):
+            g = jax.grad(lambda u: scalar(f, u))(v)
+            return jnp.sum(jnp.square(g))
+        return inner
+    h_a = jax.grad(gnorm(pk.packed_avg_pool2_mxu))(x)
+    h_b = jax.grad(gnorm(pk.packed_avg_pool2))(x)
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.fixture(scope='module')
 def params():
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
