@@ -324,14 +324,43 @@ def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
         up = jnp.pad(u, ((0, 0), (1, 1), cols[0], (0, 0)))
         return _conv_valid(up, w_s, precision)  # (B, 2n, 1, Co)
 
+    # Write the bands as masked selects on the FLAT (b,n,n,4Co) conv output
+    # — channel index is (p*2+q)*co+o, so each (parity, border) band is a
+    # contiguous channel range at one row/column.  The masks are iota
+    # comparisons and the thin bands are zero-padded to full shape; both are
+    # lazy inside an XLA loop fusion, so the whole correction fuses into the
+    # conv's elementwise epilogue instead of round-tripping the activation
+    # through a (b,n,n,2,2,co) grouped view (a materialized retiling copy on
+    # TPU — op trace/BASELINE.md) or minor-dim slice scatters (measured
+    # slower).  Values are exactly the scatter formulation's: later selects
+    # override earlier ones, so columns claim the corners as before.
     b = x.shape[0]
-    y5 = y.reshape(b, n, n, 2, 2, co)
-    top = row_band(True).reshape(b, 1, n, 2, co)       # cols packed (q, o)
-    bot = row_band(False).reshape(b, 1, n, 2, co)
-    y5 = y5.at[:, 0:1, :, 0, :, :].set(top)            # p=0, J=0
-    y5 = y5.at[:, n - 1:n, :, 1, :, :].set(bot)        # p=1, J=n-1
-    lf = col_band(True).reshape(b, n, 2, 1, co).transpose(0, 1, 3, 2, 4)
-    rt = col_band(False).reshape(b, n, 2, 1, co).transpose(0, 1, 3, 2, 4)
-    y5 = y5.at[:, :, 0:1, :, 0, :].set(lf)             # q=0, K=0
-    y5 = y5.at[:, :, n - 1:n, :, 1, :].set(rt)         # q=1, K=n-1
-    return y5.reshape(b, n, n, 4 * co)
+    top = row_band(True).reshape(b, 1, n, 2 * co)      # (q, o) channel-flat
+    bot = row_band(False).reshape(b, 1, n, 2 * co)
+    lf = col_band(True).reshape(b, n, 2, co)           # (J, p, o)
+    rt = col_band(False).reshape(b, n, 2, co)
+
+    row = jnp.arange(n).reshape(1, n, 1, 1)
+    col = jnp.arange(n).reshape(1, 1, n, 1)
+    ch = jnp.arange(4 * co).reshape(1, 1, 1, 4 * co)
+
+    def pad_to_full(band, rows, cols, chans):
+        return jnp.pad(band, ((0, 0), rows, cols, chans))
+
+    y = jnp.where((row == 0) & (ch < 2 * co),                    # p=0, J=0
+                  pad_to_full(top, (0, n - 1), (0, 0), (0, 2 * co)), y)
+    y = jnp.where((row == n - 1) & (ch >= 2 * co),               # p=1, J=n-1
+                  pad_to_full(bot, (n - 1, 0), (0, 0), (2 * co, 0)), y)
+    y = jnp.where((col == 0) & (ch < co),                        # p=0, q=0
+                  pad_to_full(lf[:, :, 0:1, :], (0, 0), (0, n - 1),
+                              (0, 3 * co)), y)
+    y = jnp.where((col == 0) & (2 * co <= ch) & (ch < 3 * co),   # p=1, q=0
+                  pad_to_full(lf[:, :, 1:2, :], (0, 0), (0, n - 1),
+                              (2 * co, co)), y)
+    y = jnp.where((col == n - 1) & (co <= ch) & (ch < 2 * co),   # p=0, q=1
+                  pad_to_full(rt[:, :, 0:1, :], (0, 0), (n - 1, 0),
+                              (co, 2 * co)), y)
+    y = jnp.where((col == n - 1) & (ch >= 3 * co),               # p=1, q=1
+                  pad_to_full(rt[:, :, 1:2, :], (0, 0), (n - 1, 0),
+                              (3 * co, 0)), y)
+    return y
