@@ -93,6 +93,11 @@ class PGConfig:
     # training path); the 'highest'-precision parity path keeps the exact
     # decomposition.
     fuse_up2_conv: Optional[bool] = None
+    # Fuse the discriminator's level boundary (avg-pool + repack + first
+    # block conv) into one stride-2 composed-kernel conv
+    # (ops/packed.py::pool2_equalized_conv3x3): removes the s2d retiling
+    # copy and the group-mean pass.  Same None-auto gating as fuse_up2_conv.
+    fuse_pool_conv: Optional[bool] = None
 
     def __post_init__(self):
         object.__setattr__(self, 'n_gen_features', tuple(self.n_gen_features))
@@ -138,6 +143,12 @@ class PGConfig:
         if self.fuse_up2_conv is None:
             return self.precision is None
         return self.fuse_up2_conv
+
+    @property
+    def fused_pool(self) -> bool:
+        if self.fuse_pool_conv is None:
+            return self.precision is None
+        return self.fuse_pool_conv
 
 
 # --------------------------------------------------------------------------
@@ -368,6 +379,28 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
     from neuron_gan_tpu.ops import packed as pk
     p = params['blocks'][i]
     half = entry_res // 2
+    if packed_in and cfg.fused_pool:
+        # one composed-kernel conv replaces avg-pool + (repack +) conv1:
+        # removes the s2d retiling copy and the group-mean pass
+        # (float-reordered vs the decomposed ops — ops/packed.py)
+        if _want_packed(cfg, half):
+            y = _packed_lrelu_pn(
+                pk.pool2_equalized_conv3x3(y, p['conv1'],
+                                           neg_slope=cfg.neg_slope,
+                                           precision=cfg.precision), cfg)
+            y = _packed_lrelu_pn(
+                pk.packed_equalized_conv3x3(y, p['conv2'],
+                                            neg_slope=cfg.neg_slope,
+                                            precision=cfg.precision), cfg)
+            return y, True
+        y = _lrelu_pn(
+            pk.pool2_unpacked_equalized_conv3x3(y, p['conv1'],
+                                                neg_slope=cfg.neg_slope,
+                                                precision=cfg.precision), cfg)
+        y = _lrelu_pn(equalized_conv2d(y, p['conv2'], padding=1,
+                                       neg_slope=cfg.neg_slope,
+                                       precision=cfg.precision), cfg)
+        return y, False
     if packed_in:
         # unpacked at entry_res/2; einsum form on the fast path (no
         # grouped-view reshape), reduce form bit-matches avg_pool

@@ -364,3 +364,98 @@ def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
                   pad_to_full(rt[:, :, 1:2, :], (0, 0), (n - 1, 0),
                               (3 * co, 0)), y)
     return y
+
+
+# --------------------------------------------------------------------------
+# Fused avg-pool + (repack) + conv: the D-side level boundary as ONE conv
+# --------------------------------------------------------------------------
+#
+# The discriminator's boundary between packed levels is
+# ``conv3x3_packed(s2d(group_avg_pool(y)))``; the s2d 6D transpose is a
+# materialized retiling copy of the full activation on TPU, and the
+# group-mean is an extra full read+write pass (HLO census / op trace in
+# BASELINE.md).  Composing all three into the conv kernel removes both.
+#
+# Derivation: with u[P,Q,i] = 0.25·Σ_{s,t} y[P,Q,(s,t,i)] (group-mean; same
+# m×m grid) and out = s2d(conv3x3_zeropad(u, w)),
+#
+#   out[J,K,(a,b,o)] = Σ_{dy,dx,i} w[dy,dx,i,o] · u_zp[2J+a+dy, 2K+b+dx, i]
+#
+# Substituting u and indexing a once-zero-padded y (y_p1[r] = y[r-1]):
+# row index 2J + (a+dy+1) with a+dy+1 ∈ {0..3} — i.e. a 4×4 STRIDE-2 conv
+# on pad-1 y whose kernel is w spread over taps ty = a+dy+1 and broadcast
+# (×0.25) over the four input parities:
+#
+#   K4[ty,tx,(s,t,i),(a,b,o)] = 0.25·w[ty-a, tx-b, i, o]   (0 ≤ ty-a ≤ 2)
+#
+# The packed conv's one-ring zero padding is reproduced exactly: p[-1] (a
+# zero packed-at-R/2 ring) corresponds to u rows {-2,-1}, both zero in
+# pad-1 y at stride-2 window positions.  16 vs 9 taps costs 1.78× the MACs
+# on HBM-bound convs — the activation bytes (what these convs are limited
+# by) are unchanged, and two full-pass layout ops disappear.
+#
+# At the packed→UNPACKED boundary (half < packed_min_res) there is no s2d
+# and the pooled grid coincides with y's grid, so the fusion is purely a
+# channel broadcast: conv3x3(u) == conv3x3 of y with kernel 0.25·w repeated
+# over the four input parities (stride 1, padding 1).
+
+_POOL_TAPS = np.zeros((4, 2, 3), np.float32)  # [ty, a, dy]
+for _a in (0, 1):
+    for _d in (0, 1, 2):
+        _POOL_TAPS[_a + _d, _a, _d] = 1.0
+
+
+def fuse_pool2_conv3x3_weight(w, scale=1.0):
+    """(3,3,Ci,Co) kernel -> (4,4,4Ci,4Co) fused pool+repack+conv kernel."""
+    t = jnp.asarray(_POOL_TAPS, w.dtype)
+    w = w * jnp.asarray(0.25 * scale, w.dtype)
+    wf = jnp.einsum('pad,qbe,deio->pqiabo', t, t, w,
+                    precision=lax.Precision.HIGHEST)  # exact tap placement
+    ci, co = w.shape[2], w.shape[3]
+    wf = jnp.broadcast_to(wf[:, :, None, None], (4, 4, 2, 2, ci, 2, 2, co))
+    return wf.reshape(4, 4, 4 * ci, 4 * co)
+
+
+def pool2_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
+                            precision=None):
+    """conv3x3_packed(s2d(packed_avg_pool2(x))) * eq_scale as one conv.
+
+    ``x_packed`` is the packed rep of res R, (B, m, m, 4Ci); output is the
+    packed rep of res R/2, (B, m/2, m/2, 4Co).  Float-equivalent (not
+    bit-equal) to the decomposed chain — tap-sum reorder only; use the
+    decomposed ops for strict parity (mirrors up2_equalized_conv3x3)."""
+    w = params['w']
+    fan_in = w.shape[2] * 9
+    scale = calculate_gain('leaky_relu', neg_slope) / math.sqrt(fan_in)
+    wf = fuse_pool2_conv3x3_weight(w, scale)
+    xp = jnp.pad(x_packed, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, wf.astype(x_packed.dtype), window_strides=(2, 2),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+    if 'b' in params:
+        y = y + jnp.tile(params['b'], 4).astype(y.dtype)
+    return y
+
+
+def pool2_unpacked_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
+                                     precision=None):
+    """conv3x3(packed_avg_pool2(x), padding=1) * eq_scale as one conv.
+
+    The packed→unpacked boundary: the pooled grid coincides with the packed
+    grid, so the group-mean folds into the kernel as a 0.25-weighted
+    parity broadcast.  (B, m, m, 4Ci) -> (B, m, m, Co)."""
+    w = params['w']
+    fan_in = w.shape[2] * 9
+    scale = calculate_gain('leaky_relu', neg_slope) / math.sqrt(fan_in)
+    ci, co = w.shape[2], w.shape[3]
+    wf = jnp.broadcast_to(
+        (w * jnp.asarray(0.25 * scale, w.dtype))[:, :, None, None],
+        (3, 3, 2, 2, ci, co)).reshape(3, 3, 4 * ci, co)
+    y = lax.conv_general_dilated(
+        x_packed, wf.astype(x_packed.dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+    if 'b' in params:
+        y = y + params['b'].astype(y.dtype)
+    return y

@@ -277,6 +277,93 @@ def test_fused_up2_conv_gradients_match_decomposed():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_pool2_conv_matches_decomposed():
+    """pool2_equalized_conv3x3 == packed_conv3x3(s2d(group_avg_pool(y)))
+    to float tolerance (tap-sum reorder only), incl. bias and borders."""
+    rng = np.random.default_rng(31)
+    for m, ci, co, bias in [(4, 3, 5, False), (8, 5, 4, True), (6, 2, 2, False)]:
+        y = jnp.asarray(
+            rng.standard_normal((2, m, m, 4 * ci)).astype(np.float32))
+        p = {'w': jnp.asarray(
+            rng.standard_normal((3, 3, ci, co)).astype(np.float32))}
+        if bias:
+            p['b'] = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+        want = pk.packed_equalized_conv3x3(
+            pk.space_to_depth(pk.packed_avg_pool2(y)), p, precision='highest')
+        got = pk.pool2_equalized_conv3x3(y, p, precision='highest')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_pool2_unpacked_conv_matches_decomposed():
+    """pool2_unpacked_equalized_conv3x3 == eq_conv3x3(group_avg_pool(y))."""
+    rng = np.random.default_rng(32)
+    for m, ci, co, bias in [(4, 3, 5, False), (8, 4, 3, True)]:
+        y = jnp.asarray(
+            rng.standard_normal((2, m, m, 4 * ci)).astype(np.float32))
+        p = {'w': jnp.asarray(
+            rng.standard_normal((3, 3, ci, co)).astype(np.float32))}
+        if bias:
+            p['b'] = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+        want = equalized_conv2d(pk.packed_avg_pool2(y), p, padding=1,
+                                precision='highest')
+        got = pk.pool2_unpacked_equalized_conv3x3(y, p, precision='highest')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_pool2_conv_gradients_match_decomposed():
+    """First and second derivatives (the GP double-backward pattern) of the
+    fused boundary conv match the decomposed chain."""
+    rng = np.random.default_rng(33)
+    m, ci, co = 6, 3, 4
+    y = jnp.asarray(rng.standard_normal((2, m, m, 4 * ci)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32))
+    ct = jnp.asarray(
+        rng.standard_normal((2, m // 2, m // 2, 4 * co)).astype(np.float32))
+
+    def fused(y_, w_):
+        return jnp.sum(jnp.sin(pk.pool2_equalized_conv3x3(
+            y_, {'w': w_}, precision='highest')) * ct)
+
+    def decomposed(y_, w_):
+        return jnp.sum(jnp.sin(pk.packed_equalized_conv3x3(
+            pk.space_to_depth(pk.packed_avg_pool2(y_)), {'w': w_},
+            precision='highest')) * ct)
+
+    gx1, gw1 = jax.grad(fused, argnums=(0, 1))(y, w)
+    gx2, gw2 = jax.grad(decomposed, argnums=(0, 1))(y, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+    def gnorm(f):
+        def inner(v):
+            g = jax.grad(lambda u: f(u, w))(v)
+            return jnp.sum(jnp.square(g))
+        return inner
+    h1 = jax.grad(gnorm(fused))(y)
+    h2 = jax.grad(gnorm(decomposed))(y)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_discriminator_fused_pool_matches_decomposed():
+    """Full packed discriminator with fuse_pool_conv on vs off (both f32
+    highest): same scores to float tolerance, steady and fading — covers
+    both the packed→packed and packed→unpacked boundaries."""
+    cfg_off = dataclasses.replace(CFG_PACKED, fuse_pool_conv=False)
+    cfg_on = dataclasses.replace(CFG_PACKED, fuse_pool_conv=True)
+    d = init_discriminator_pg(jax.random.PRNGKey(9), CFG)
+    for phase, alpha in [(2, None), (3, None), (3, 0.4)]:
+        res = CFG.resolution(phase)
+        x = jax.random.normal(jax.random.PRNGKey(10), (2, res, res, 1))
+        want = np.asarray(discriminator_pg(d, x, cfg_off, phase, alpha))
+        got = np.asarray(discriminator_pg(d, x, cfg_on, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_generator_fused_up2_matches_decomposed():
     """Full packed generator with fuse_up2_conv on vs off (both f32
     highest): same images to float tolerance across phases and fade-in."""
