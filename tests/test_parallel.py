@@ -140,6 +140,31 @@ def test_packed_data_model_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+def test_packed_fused_data_model_parallel_matches_single_device():
+    """The PRODUCTION training path (precision=None, which auto-enables the
+    fused up2-conv and fused pool-conv boundary kernels) under dp x tp must
+    match single-device.  The fused kernels change channel counts at the
+    conv (Ci -> 4Co up, 4Ci -> 4Co stride-2 down), so the model-axis channel
+    sharding interacting with them is exactly the combination that could
+    silently insert gathers or mis-shard — same rationale as the packed
+    tests above (VERDICT r1 #4).  One epoch; same tolerances as the packed
+    f32 tests (CPU matmuls are f32 regardless of precision=None, so only
+    the fused kernels' tap-sum reorder plus Adam amplification applies)."""
+    cfg_fast = dataclasses.replace(PACKED_CFG, precision=None)
+    assert cfg_fast.fused_up2 and cfg_fast.fused_pool
+    s1, st1 = run(None, n_epochs=1, cfg=cfg_fast, base=PACKED_BASE,
+                  image_hw=96)
+    s2, st2 = run({'data': 2, 'model': 2}, n_epochs=1, cfg=cfg_fast,
+                  base=PACKED_BASE, image_hw=96)
+    np.testing.assert_allclose(st1, st2, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1['g_params']),
+                    jax.tree.leaves(s2['g_params'])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1['d_params']),
+                    jax.tree.leaves(s2['d_params'])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
 def test_mixed_dtype_data_parallel_runs_and_tracks_single_device():
     """compute_dtype='mixed' under a data mesh: bf16 activations meet the
     batch sharding constraint and the f32 gradient psum without error, and
