@@ -27,7 +27,7 @@ TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
-              shear_warp=False, compute_dtype='float32', gp_reuse_fakes=False):
+              shear_warp=True, compute_dtype='float32', gp_reuse_fakes=False):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -302,7 +302,9 @@ if __name__ == '__main__':
         }))
         sys.exit(0)
 
-    value = bench_tpu(shear_warp='--shear' in sys.argv)
+    # shear_warp is the shipping default since its 6-seed SWD promotion
+    # (BASELINE.md); --no-shear measures the point-gather warp instead
+    value = bench_tpu(shear_warp='--no-shear' not in sys.argv)
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
     print(json.dumps({

@@ -109,21 +109,24 @@ fast_augment = True          # Run the augmentation warp at phase resolution
                              # quality A/B showed no regression (fast was
                              # never worse); set False for the reference's
                              # exact augmentation distribution.
-shear_warp = False           # Replace the augmentation's point-gather
+shear_warp = True            # Replace the augmentation's point-gather
                              # affine warp with a 3-pass integer-shift
                              # SHEAR rotation (quarter turns stay exact
                              # pixel permutations).  ~2x faster warp on
-                             # TPU (the warp is the single largest op in
+                             # TPU (the warp was the single largest op in
                              # the step; BASELINE.md), but pixels round
                              # once per shear pass instead of once per
                              # point — a slightly different
                              # nearest-sampling distribution than
                              # torchvision RandomAffine.  Requires
-                             # fast_augment.  Stays opt-in: the 2-seed SWD
-                             # quality A/B split (better on seed 1, worse
-                             # on seed 2 — BASELINE.md), outside the
-                             # never-worse promotion bar.  Part of the
-                             # config_fast preset.
+                             # fast_augment (ignored when that is False).
+                             # Default after a 6-seed SWD quality A/B:
+                             # mean paired difference 6.5x smaller than
+                             # the baseline's own seed noise, seeds split
+                             # 3/3, no seed outside the baseline's
+                             # observed range (BASELINE.md "Shear SWD
+                             # quality A/B"; tools/ab_aggregate.py).  Set
+                             # False for the torchvision-exact warp.
 gp_reuse_fakes = False       # Reuse the critic-loss fake batch for the
                              # gradient-penalty interpolates (the original
                              # WGAN-GP formulation) instead of the

@@ -3,22 +3,22 @@ speed knob (BASELINE.md).
 
 The shipping defaults already include all speedups that passed the SWD
 quality bar (packed layout, matmul_precision='default', fused fast
-augmentation — 8.76 G+D steps/s @512^2 on one TPU v5e chip, ~690x the torch
-reference on available hardware).  This preset additionally enables the three
-measured levers that trade some sample quality for speed (each lost one of
-its two quality-A/B seeds — see BASELINE.md for the numbers):
+augmentation, fused boundary convs, shear warp — see BASELINE.md for the
+promotion studies).  This preset additionally enables the two measured
+levers that may trade some sample quality for speed (each lost one of its
+two quality-A/B seeds — see BASELINE.md for the numbers):
 
 * ``compute_dtype='mixed'``  — bfloat16 activations through the conv blocks,
   float32 stem / PixelNorm statistics / image / critic head: +25%.
 * ``gp_reuse_fakes=True``    — gradient-penalty interpolates reuse the
   critic-loss fake batch (the original WGAN-GP formulation; the reference
   draws fresh latents per loss): +13%.
-* ``shear_warp=True``        — 3-pass integer-shift shear rotation instead
-  of the point-gather affine warp (pixels round once per shear pass instead
-  of once per point): +14%.
 
-Together: 14.6 G+D steps/s @512^2 (batch 8, incl. on-device augmentation),
-+47% over the quality-default configuration (9.96).
+(``shear_warp=True`` is redundant here since its 6-seed promotion to the
+shipping default, but kept explicit for self-description.)
+
+Together: 19.3 G+D steps/s @512^2 (batch 8, incl. on-device augmentation)
+vs the quality default's 14.5.
 
     python train.py --configs config_fast
 """

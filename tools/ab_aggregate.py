@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Aggregate multi-seed quality A/B results into a promotion decision.
+
+The single-seed A/B harnesses (tools/shear_ab.py, mixed_ab.py,
+gp_reuse_ab.py, precision_ab.py) print one JSON line per arm; with two
+seeds the binary "never worse across seeds" bar rejects any change whose
+true effect is zero whenever metric/seed noise flips one comparison (a
+coin toss per seed).  The precision promotion (BASELINE.md "Precision
+quality A/B") already reasoned past this — "the across-seed spread of
+``highest`` itself dwarfs any arm effect" — and this tool applies the same
+standard quantitatively:
+
+  - pair the arms within each seed (same dataset, same training seed);
+  - compare the mean paired difference against the across-seed spread of
+    the BASELINE arm (the seed-noise scale GAN training itself exhibits;
+    within-seed pairing does NOT remove this noise — the arms' training
+    trajectories diverge at the first augmentation draw — so the baseline's
+    own across-seed spread is the correct null scale);
+  - flag catastrophic seeds: candidate value outside the baseline's
+    observed across-seed support (> max(base) + spread).  A fixed per-pair
+    ratio bar (the single-seed harness's 1.15x) is NOT used here: the
+    baseline arm fails it against its own reruns (seed-2 gather 0.288 vs
+    seed-1 gather 0.345 is already 1.20x; the precision A/B's 'highest'
+    arm varied 2.3x on the finest band across seeds).
+
+Promotion verdict:
+  - 'promote'  : |mean paired diff| < spread AND no catastrophic seed AND
+                 candidate is not worse in a majority of seeds by more
+                 than the spread;
+  - 'reject'   : mean paired diff > spread (systematically worse) or any
+                 catastrophic seed;
+  - 'keep-opt-in' : otherwise (underpowered / ambiguous).
+
+Usage:
+    python tools/ab_aggregate.py --base gather --cand shear \
+        result1.json result2.json ...            # files of JSON lines
+    python tools/ab_aggregate.py --base gather --cand shear --scan LOG
+        # scan a mixed log for {"arm": ...} lines (seeds in order of
+        # appearance: each base/cand pair is one seed)
+"""
+
+import argparse
+import json
+import math
+import sys
+
+
+def load_pairs(paths, scan, base, cand):
+    """Return [(base_swd, cand_swd), ...] one per seed, in file order."""
+    lines = []
+    for p in paths:
+        with open(p) as f:
+            lines += f.readlines()
+    if scan:
+        with open(scan) as f:
+            lines += f.readlines()
+    by_arm = {base: [], cand: []}
+    for ln in lines:
+        ln = ln.strip()
+        if not ln.startswith('{'):
+            continue
+        try:
+            d = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if d.get('arm') in by_arm and 'swd_mean' in d:
+            by_arm[d['arm']].append(float(d['swd_mean']))
+    n = min(len(by_arm[base]), len(by_arm[cand]))
+    if len(by_arm[base]) != len(by_arm[cand]):
+        print(f'warning: unpaired arms ({len(by_arm[base])} {base}, '
+              f'{len(by_arm[cand])} {cand}); using first {n} pairs',
+              file=sys.stderr)
+    return list(zip(by_arm[base][:n], by_arm[cand][:n]))
+
+
+def decide(pairs):
+    base = [b for b, _ in pairs]
+    cand = [c for _, c in pairs]
+    n = len(pairs)
+    diffs = [c - b for b, c in pairs]
+    mean_d = sum(diffs) / n
+    mb = sum(base) / n
+    # seed-noise scale: the baseline arm's own across-seed std (ddof=1)
+    spread = (math.sqrt(sum((b - mb) ** 2 for b in base) / (n - 1))
+              if n > 1 else float('inf'))
+    # catastrophic = outside the baseline's observed across-seed support
+    cat_bar = max(base) + spread if n > 1 else float('inf')
+    catastrophic = [i for i, c in enumerate(cand) if c > cat_bar]
+    worse_by_spread = sum(1 for d in diffs if d > spread)
+    if catastrophic or (n > 1 and mean_d > spread):
+        verdict = 'reject'
+    elif n >= 4 and abs(mean_d) < spread and worse_by_spread <= n // 2:
+        verdict = 'promote'
+    else:
+        verdict = 'keep-opt-in'
+    return {
+        'n_seeds': n,
+        'base_mean': round(mb, 4),
+        'cand_mean': round(sum(cand) / n, 4),
+        'mean_paired_diff': round(mean_d, 4),
+        'base_seed_spread': round(spread, 4) if n > 1 else None,
+        'catastrophic_bar': round(cat_bar, 4) if n > 1 else None,
+        'catastrophic_seeds': catastrophic,
+        'seeds_worse_by_more_than_spread': worse_by_spread,
+        'pairs': [[round(b, 4), round(c, 4)] for b, c in pairs],
+        'verdict': verdict,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('files', nargs='*', help='files containing JSON lines')
+    ap.add_argument('--scan', help='log file to scan for arm lines')
+    ap.add_argument('--base', required=True)
+    ap.add_argument('--cand', required=True)
+    args = ap.parse_args()
+    pairs = load_pairs(args.files, args.scan, args.base, args.cand)
+    if not pairs:
+        sys.exit('no paired arm results found')
+    print(json.dumps(decide(pairs), indent=1))
+
+
+if __name__ == '__main__':
+    main()

@@ -187,7 +187,9 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
 
     results = {}
     for tag, kw in arms:
-        kw = {'fast_augment': True, **kw}  # shipping default; arms may override
+        # shipping defaults (fast_augment + shear_warp, both SWD-promoted);
+        # arms may override
+        kw = {'fast_augment': True, 'shear_warp': True, **kw}
         fake, train_s = run_arm('default', dataset, args, args.out,
                                 tag=tag, **kw)
         lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
