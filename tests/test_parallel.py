@@ -165,6 +165,27 @@ def test_packed_fused_data_model_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+def test_shipping_augment_data_model_parallel_matches_single_device():
+    """The SHIPPING augmentation defaults (fast_augment + shear_warp, both
+    SWD-promoted — config.py) on the production fused path under dp x tp.
+    The shear rotation is built from per-example masked shifts over the
+    batch-sharded canvas, so it must partition along 'data' without
+    cross-device gathers; this pins the exact step train.py runs by
+    default under a mesh."""
+    cfg_fast = dataclasses.replace(PACKED_CFG, precision=None)
+    base = dict(PACKED_BASE, fast_augment=True, shear_warp=True)
+    s1, st1 = run(None, n_epochs=1, cfg=cfg_fast, base=base, image_hw=96)
+    s2, st2 = run({'data': 2, 'model': 2}, n_epochs=1, cfg=cfg_fast,
+                  base=base, image_hw=96)
+    np.testing.assert_allclose(st1, st2, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1['g_params']),
+                    jax.tree.leaves(s2['g_params'])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1['d_params']),
+                    jax.tree.leaves(s2['d_params'])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
 def test_mixed_dtype_data_parallel_runs_and_tracks_single_device():
     """compute_dtype='mixed' under a data mesh: bf16 activations meet the
     batch sharding constraint and the f32 gradient psum without error, and
