@@ -306,8 +306,8 @@ def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
                                   0.75 * r1 + 0.25 * r1], axis=1)
         u = _up2_1d(uh, 2)  # (B, 2, 2n, Ci)
         # conv row band: zero row beyond the border, zero cols (conv pad)
-        rows = ((1, 0), (0, 1)) if top else ((0, 1), (1, 0))
-        up = jnp.pad(u, ((0, 0), rows[0], (1, 1), (0, 0)))
+        rows = (1, 0) if top else (0, 1)  # zero row beyond the border
+        up = jnp.pad(u, ((0, 0), rows, (1, 1), (0, 0)))
         return _conv_valid(up, w_s, precision)  # (B, 1, 2n, Co)
 
     def col_band(left):
@@ -320,8 +320,8 @@ def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
         else:
             u = jnp.concatenate([0.25 * c0 + 0.75 * c1,
                                  0.75 * c1 + 0.25 * c1], axis=2)
-        cols = ((1, 0), (0, 1)) if left else ((0, 1), (1, 0))
-        up = jnp.pad(u, ((0, 0), (1, 1), cols[0], (0, 0)))
+        cols = (1, 0) if left else (0, 1)
+        up = jnp.pad(u, ((0, 0), (1, 1), cols, (0, 0)))
         return _conv_valid(up, w_s, precision)  # (B, 2n, 1, Co)
 
     # Write the bands as masked selects on the FLAT (b,n,n,4Co) conv output

@@ -71,8 +71,35 @@ def test_load_pairs_scans_json_lines(tmp_path):
         json.dumps({'arm': 'gather', 'swd_mean': 0.31}),  # unpaired tail
     ]
     log.write_text('\n'.join(lines) + '\n')
-    pairs = load_pairs([str(log)], None, 'gather', 'shear')
+    pairs = load_pairs([str(log)], 'gather', 'shear')
     assert pairs == [(0.34, 0.28), (0.29, 0.40)]
+
+
+def test_load_pairs_drops_incomplete_seed_instead_of_mispairing(tmp_path):
+    # seed 2's cand run crashed before printing: the base lines of seeds
+    # 2 and 3 are adjacent.  Pairing must drop seed 2, not shift seed 3's
+    # cand value onto seed 2's base (a cross-seed "paired" difference).
+    log = tmp_path / 'ab.log'
+    lines = [
+        json.dumps({'arm': 'gather', 'swd_mean': 0.34}),
+        json.dumps({'arm': 'shear', 'swd_mean': 0.28}),
+        json.dumps({'arm': 'gather', 'swd_mean': 0.29}),  # seed 2: no shear
+        json.dumps({'arm': 'gather', 'swd_mean': 0.31}),
+        json.dumps({'arm': 'shear', 'swd_mean': 0.40}),
+    ]
+    log.write_text('\n'.join(lines) + '\n')
+    pairs = load_pairs([str(log)], 'gather', 'shear')
+    assert pairs == [(0.34, 0.28), (0.31, 0.40)]
+
+
+def test_load_pairs_accepts_cand_before_base(tmp_path):
+    log = tmp_path / 'ab.log'
+    lines = [
+        json.dumps({'arm': 'shear', 'swd_mean': 0.28}),
+        json.dumps({'arm': 'gather', 'swd_mean': 0.34}),
+    ]
+    log.write_text('\n'.join(lines) + '\n')
+    assert load_pairs([str(log)], 'gather', 'shear') == [(0.34, 0.28)]
 
 
 def test_cli_end_to_end(tmp_path):

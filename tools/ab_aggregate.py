@@ -32,11 +32,13 @@ Promotion verdict:
   - 'keep-opt-in' : otherwise (underpowered / ambiguous).
 
 Usage:
-    python tools/ab_aggregate.py --base gather --cand shear \
-        result1.json result2.json ...            # files of JSON lines
-    python tools/ab_aggregate.py --base gather --cand shear --scan LOG
-        # scan a mixed log for {"arm": ...} lines (seeds in order of
-        # appearance: each base/cand pair is one seed)
+    python tools/ab_aggregate.py --base gather --cand shear LOG [LOG2 ...]
+
+Each input file holds JSON lines; non-JSON lines are ignored, so a raw
+tool log works directly.  Seeds pair by order of appearance: one base
+line + one cand line (either order) form a seed; an incomplete seed —
+e.g. one arm crashed before printing — is dropped with a warning rather
+than shifting later seeds out of alignment.
 """
 
 import argparse
@@ -45,16 +47,22 @@ import math
 import sys
 
 
-def load_pairs(paths, scan, base, cand):
-    """Return [(base_swd, cand_swd), ...] one per seed, in file order."""
+def load_pairs(paths, base, cand):
+    """Return [(base_swd, cand_swd), ...] one per seed, in file order.
+
+    Seeds pair sequentially: one ``base`` + one ``cand`` line (either
+    order) complete a seed.  A repeated arm before its partner arrived
+    means the previous seed is incomplete (one arm crashed before
+    printing); that seed is dropped with a warning instead of silently
+    pairing across seeds — a cross-seed "paired" difference is exactly
+    the noise this tool exists to calibrate away.
+    """
     lines = []
     for p in paths:
         with open(p) as f:
             lines += f.readlines()
-    if scan:
-        with open(scan) as f:
-            lines += f.readlines()
-    by_arm = {base: [], cand: []}
+    pairs = []
+    pending = {}
     for ln in lines:
         ln = ln.strip()
         if not ln.startswith('{'):
@@ -63,14 +71,21 @@ def load_pairs(paths, scan, base, cand):
             d = json.loads(ln)
         except json.JSONDecodeError:
             continue
-        if d.get('arm') in by_arm and 'swd_mean' in d:
-            by_arm[d['arm']].append(float(d['swd_mean']))
-    n = min(len(by_arm[base]), len(by_arm[cand]))
-    if len(by_arm[base]) != len(by_arm[cand]):
-        print(f'warning: unpaired arms ({len(by_arm[base])} {base}, '
-              f'{len(by_arm[cand])} {cand}); using first {n} pairs',
-              file=sys.stderr)
-    return list(zip(by_arm[base][:n], by_arm[cand][:n]))
+        arm = d.get('arm')
+        if arm not in (base, cand) or 'swd_mean' not in d:
+            continue
+        if arm in pending:
+            print(f'warning: dropping incomplete seed (saw {arm} twice '
+                  f'with no intervening partner arm)', file=sys.stderr)
+            pending = {}
+        pending[arm] = float(d['swd_mean'])
+        if base in pending and cand in pending:
+            pairs.append((pending[base], pending[cand]))
+            pending = {}
+    if pending:
+        print(f'warning: dropping trailing incomplete seed '
+              f'({list(pending)[0]} without a partner arm)', file=sys.stderr)
+    return pairs
 
 
 def decide(pairs):
@@ -109,12 +124,11 @@ def decide(pairs):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('files', nargs='*', help='files containing JSON lines')
-    ap.add_argument('--scan', help='log file to scan for arm lines')
+    ap.add_argument('files', nargs='+', help='files containing JSON lines')
     ap.add_argument('--base', required=True)
     ap.add_argument('--cand', required=True)
     args = ap.parse_args()
-    pairs = load_pairs(args.files, args.scan, args.base, args.cand)
+    pairs = load_pairs(args.files, args.base, args.cand)
     if not pairs:
         sys.exit('no paired arm results found')
     print(json.dumps(decide(pairs), indent=1))
