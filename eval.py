@@ -81,6 +81,10 @@ else:
         n_dis_features=tuple(meta['N_dis_features']),
         latent_dim=int(meta['latent_dim']),
         image_size_init=init,
+        # older checkpoints predate these meta keys; their runs used the
+        # then-only defaults, so falling back is exact for them
+        n_colors=int(meta.get('N_colors', 1)),
+        neg_slope=float(meta.get('LeakyReLU_leak', 0.2)),
         **({'precision': None, 'packed_min_res': max(64, 2 * init)}
            if options.fast else {}),
     )
@@ -108,11 +112,13 @@ if options.swd:
     from neuron_gan_tpu.utils.plotting import gen_samples
 
     res = int(growth.image_size)
-    fake = samples
-    if res != int(samples.shape[1]):
-        fake, _ = gen_samples(g_params, model_cfg, growth,
-                              n_images=options.n, seed=0)
-        fake = np.asarray(fake)
+    # Always score the seed-0 latent set (the same deterministic source the
+    # training-time swd_period monitor and the A/B harnesses use) rather
+    # than the grid's unseeded draw — otherwise full-resolution and
+    # mid-growth checkpoints would be scored on different latent sets.
+    fake, _ = gen_samples(g_params, model_cfg, growth,
+                          n_images=options.n, seed=0)
+    fake = np.asarray(fake)
     dataset = NeuronDataset(options.dataset_dir or config.dataset_dir,
                             image_size=model_cfg.image_size_max,
                             seed=config.seed,

@@ -379,51 +379,48 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
     from neuron_gan_tpu.ops import packed as pk
     p = params['blocks'][i]
     half = entry_res // 2
+    packed_out = _want_packed(cfg, half)
+
+    # --- pool + conv1 (the only step where the fused / decomposed paths
+    # differ; the lrelu+pixelnorm epilogue and conv2 tail are shared) ---
     if packed_in and cfg.fused_pool:
         # one composed-kernel conv replaces avg-pool + (repack +) conv1:
         # removes the s2d retiling copy and the group-mean pass
         # (float-reordered vs the decomposed ops — ops/packed.py)
-        if _want_packed(cfg, half):
-            y = _packed_lrelu_pn(
-                pk.pool2_equalized_conv3x3(y, p['conv1'],
-                                           neg_slope=cfg.neg_slope,
-                                           precision=cfg.precision), cfg)
-            y = _packed_lrelu_pn(
-                pk.packed_equalized_conv3x3(y, p['conv2'],
-                                            neg_slope=cfg.neg_slope,
-                                            precision=cfg.precision), cfg)
-            return y, True
-        y = _lrelu_pn(
-            pk.pool2_unpacked_equalized_conv3x3(y, p['conv1'],
-                                                neg_slope=cfg.neg_slope,
-                                                precision=cfg.precision), cfg)
-        y = _lrelu_pn(equalized_conv2d(y, p['conv2'], padding=1,
-                                       neg_slope=cfg.neg_slope,
-                                       precision=cfg.precision), cfg)
-        return y, False
-    if packed_in:
-        # unpacked at entry_res/2; einsum form on the fast path (no
-        # grouped-view reshape), reduce form bit-matches avg_pool
-        y = (pk.packed_avg_pool2_mxu(y) if cfg.precision is None
-             else pk.packed_avg_pool2(y))
+        fused = (pk.pool2_equalized_conv3x3 if packed_out
+                 else pk.pool2_unpacked_equalized_conv3x3)
+        y = fused(y, p['conv1'], neg_slope=cfg.neg_slope,
+                  precision=cfg.precision)
     else:
-        y = avg_pool(y, 2)
-    if not _want_packed(cfg, half):
-        y = _lrelu_pn(equalized_conv2d(y, p['conv1'], padding=1,
-                                       neg_slope=cfg.neg_slope,
-                                       precision=cfg.precision), cfg)
+        if packed_in:
+            # unpacked at entry_res/2; einsum form on the fast path (no
+            # grouped-view reshape), reduce form bit-matches avg_pool
+            y = (pk.packed_avg_pool2_mxu(y) if cfg.precision is None
+                 else pk.packed_avg_pool2(y))
+        else:
+            y = avg_pool(y, 2)
+        if packed_out:
+            y = pk.space_to_depth(y)
+            y = pk.packed_equalized_conv3x3(y, p['conv1'],
+                                            neg_slope=cfg.neg_slope,
+                                            precision=cfg.precision)
+        else:
+            y = equalized_conv2d(y, p['conv1'], padding=1,
+                                 neg_slope=cfg.neg_slope,
+                                 precision=cfg.precision)
+
+    # --- shared epilogue + conv2 tail ---
+    if packed_out:
+        y = _packed_lrelu_pn(y, cfg)
+        y = _packed_lrelu_pn(
+            pk.packed_equalized_conv3x3(y, p['conv2'], neg_slope=cfg.neg_slope,
+                                        precision=cfg.precision), cfg)
+    else:
+        y = _lrelu_pn(y, cfg)
         y = _lrelu_pn(equalized_conv2d(y, p['conv2'], padding=1,
                                        neg_slope=cfg.neg_slope,
                                        precision=cfg.precision), cfg)
-        return y, False
-    y = pk.space_to_depth(y)
-    y = _packed_lrelu_pn(
-        pk.packed_equalized_conv3x3(y, p['conv1'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg)
-    y = _packed_lrelu_pn(
-        pk.packed_equalized_conv3x3(y, p['conv2'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg)
-    return y, True
+    return y, packed_out
 
 
 def discriminator_pg(params, x, cfg: PGConfig, phase: int, alpha=None):

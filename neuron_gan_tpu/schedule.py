@@ -27,7 +27,28 @@ class TrainSchedule:
     lr_total_decay: float = 1 / 100
 
     def __post_init__(self):
-        object.__setattr__(self, 'transit_sch', tuple(self.transit_sch))
+        # The CLI parses --transit_sch as float (reference train.py:63
+        # parity); chunk lengths must be ints, so coerce exact values here
+        ts = []
+        for t in self.transit_sch:
+            if int(t) != t:
+                raise ValueError(f'transition epoch {t} is not an integer')
+            ts.append(int(t))
+        object.__setattr__(self, 'transit_sch', tuple(ts))
+        # Overlapping fades would silently mis-pair phase_at (newest
+        # transition) with fading_at (oldest active fade) — the new block
+        # would start fading mid-alpha.  The reference fails fast on such
+        # configs (configs/config.py:196-200 requires transition spacing
+        # > 1/alpha_step; train.py:322-325 guards alpha desync) — mirror
+        # that here so schedules built outside import_configs are covered.
+        ts = self.transit_sch
+        for a, b in zip(ts, ts[1:]):
+            if b - a < self.fade_len:
+                raise ValueError(
+                    f'transitions at {a} and {b} are {b - a} epochs apart '
+                    f'but a fade-in lasts {self.fade_len} epochs '
+                    f'(alpha_step={self.alpha_step}); space transitions at '
+                    f'least one fade apart (reference configs/config.py:196-200)')
 
     @property
     def fade_len(self) -> int:
@@ -118,3 +139,15 @@ class TrainSchedule:
             end = self.chunk_end(e, epoch_final, adapt_period)
             yield e, end
             e = end + 1
+
+
+def sim_lambda_at(epoch: int, lam0: float, decay_rate: float) -> float:
+    """Similarity-loss weight in effect at ``epoch`` (reference
+    train.py:343-348): exponential decay, clamped to 0 below 1e-5.  Host
+    mirror of the traced computation in train_step.epoch_body."""
+    if lam0 <= 0:
+        return 0.0
+    if decay_rate <= 0:
+        return lam0
+    lam = lam0 * (1 - decay_rate) ** (epoch - 1)
+    return lam if lam > 1e-5 else 0.0

@@ -100,32 +100,9 @@ def _apply_update(params, opt_state, grads, opt, lr):
     return new_params, new_opt_state
 
 
-# --------------------------------------------------------------------------
-# Pure schedules (reference train.py:233-265, :319-321, :343-348)
-# --------------------------------------------------------------------------
-
-def alpha_at(epoch: int, transit_sch, alpha_step) -> float:
-    """Alpha in effect while training `epoch` (1.0 when no fade active).
-
-    A transition starting at epoch e0 trains that epoch with alpha=0 and
-    advances by alpha_step each subsequent epoch (train.py:319-333).
-    """
-    for e0 in reversed(list(transit_sch)):
-        if epoch >= e0:
-            a = (epoch - e0) * alpha_step
-            return min(a, 1.0)
-    return 1.0
-
-
-def sim_lambda_at(epoch: int, lam0: float, decay_rate: float) -> float:
-    """Similarity-loss weight decay (train.py:343-348)."""
-    if lam0 <= 0:
-        return 0.0
-    if decay_rate <= 0:
-        return lam0
-    lam = lam0 * (1 - decay_rate) ** (epoch - 1)
-    return lam if lam > 1e-5 else 0.0
-
+# Host-side schedule mirrors live in schedule.py (TrainSchedule.alpha_at,
+# schedule.sim_lambda_at); the traced copies inside epoch_body below are
+# property-tested against them (tests/test_train_step.py).
 
 # --------------------------------------------------------------------------
 # Epoch-chunk runner factory
@@ -321,9 +298,11 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         if spec.shuffle:
             perm = jax.random.permutation(jax.random.fold_in(k_epoch, 7),
                                           spec.n_images)
+            shuffled = jnp.take(images_stack, perm, axis=0)
         else:
-            perm = jnp.arange(spec.n_images)
-        shuffled = jnp.take(images_stack, perm, axis=0)
+            # sequential order (image_preprocessing='device'): no gather —
+            # an arange take would copy the whole stack every epoch
+            shuffled = images_stack
         n_full, rem = spec.n_full_batches, spec.batch_remainder
         n_steps = n_full + (1 if rem else 0)
         batch_keys = jax.random.split(jax.random.fold_in(k_epoch, 11), n_steps)

@@ -330,3 +330,28 @@ def test_eval_swd_scores_midgrowth_at_native_resolution(tmp_path, monkeypatch,
     assert payload['resolution'] == 8   # native, not image_size_max (16)
     assert payload['alpha'] == 0.5
     assert np.isfinite(payload['swd_mean'])
+
+
+@pytest.mark.slow
+def test_train_cli_trailing_save_session_clamp_float_transits(
+        tmp_path, monkeypatch, tiny_dataset_dir):
+    """Three driver robustness guarantees in one short run:
+
+    * ``--transit_sch`` parses as float (reference train.py:63) but must
+      not poison chunk arithmetic — TrainSchedule coerces exact ints;
+    * ``N_epochs_session`` past the schedule end clamps to ``N_epochs``;
+    * a final chunk that doesn't land on ``checkpointing_period`` still
+      saves (the reference would discard those trailing epochs).
+    """
+    out_root = tmp_path / 'run'
+    out_root.mkdir()
+    cfg = tmp_path / 'cfg_tail.py'
+    _write_config(cfg, tiny_dataset_dir, out_root,
+                  extra='N_epochs = 13\nN_epochs_session = 50')
+    _run_cli(monkeypatch, 'train.py',
+             ['--configs', str(cfg), '--transit_sch', '5.0', '10.0'])
+    from neuron_gan_tpu.checkpoint import load_pytree_npz
+    weights = out_root / 'weights' / 'GenDisc_e2e1.npz'
+    _, meta = load_pytree_npz(str(weights))
+    assert meta['epoch'] == 13          # clamped to N_epochs, then saved
+    assert meta['image_size'] == 16

@@ -108,3 +108,23 @@ def test_lr_phase_of_chunk():
     assert SCHED.lr_phase_of_chunk(99) == 0
     assert SCHED.lr_phase_of_chunk(100) == 1   # chunk starting AT a transition
     assert SCHED.lr_phase_of_chunk(101) == 1
+
+
+def test_float_transitions_coerced_to_int():
+    from neuron_gan_tpu.schedule import TrainSchedule
+    sch = TrainSchedule(transit_sch=(5.0, 10.0), alpha_step=0.25,
+                        n_epochs=20, checkpointing_period=6, lr0=1e-4)
+    assert sch.transit_sch == (5, 10)
+    assert all(isinstance(t, int) for t in sch.transit_sch)
+    # chunk boundaries stay ints (a float chunk length would break
+    # jnp.arange epoch vectors inside the jitted runner)
+    assert all(isinstance(v, int)
+               for se in sch.plan_chunks(1, 21) for v in se)
+
+
+def test_non_integer_transition_rejected():
+    import pytest
+    from neuron_gan_tpu.schedule import TrainSchedule
+    with pytest.raises(ValueError, match='not an integer'):
+        TrainSchedule(transit_sch=(5.5,), alpha_step=0.25, n_epochs=20,
+                      checkpointing_period=6, lr0=1e-4)

@@ -5,9 +5,10 @@ import jax
 import jax.numpy as jnp
 
 from neuron_gan_tpu.models import PGConfig, init_generator_pg, init_discriminator_pg
+from neuron_gan_tpu.schedule import TrainSchedule, sim_lambda_at
 from neuron_gan_tpu.train_step import (
     ChunkSpec, make_epoch_runner, make_optimizer, init_train_state,
-    alpha_at, sim_lambda_at, STAT_NAMES,
+    STAT_NAMES,
 )
 
 
@@ -126,13 +127,23 @@ def test_lr_schedule_matches_reference_semantics():
 
 
 def test_alpha_schedule():
-    sch = [100, 200]
-    assert alpha_at(50, sch, 0.01) == 1.0
-    assert alpha_at(100, sch, 0.01) == 0.0       # transition starts
-    assert alpha_at(150, sch, 0.01) == pytest.approx(0.5)
-    assert alpha_at(199, sch, 0.01) == pytest.approx(0.99)
-    assert alpha_at(200, sch, 0.01) == 0.0       # next transition
-    assert alpha_at(350, sch, 0.01) == 1.0
+    sch = TrainSchedule(transit_sch=(100, 200), alpha_step=0.01,
+                        n_epochs=400, checkpointing_period=100, lr0=1e-4)
+    assert sch.alpha_at(50) == 1.0
+    assert sch.alpha_at(100) == 0.0              # transition starts
+    assert sch.alpha_at(150) == pytest.approx(0.5)
+    assert sch.alpha_at(199) == pytest.approx(0.99)
+    assert sch.alpha_at(200) == 0.0              # next transition
+    assert sch.alpha_at(350) == 1.0
+
+
+def test_overlapping_fades_rejected():
+    # transitions closer than one fade length would mis-pair the active
+    # fade with the newest phase; the reference rejects such configs
+    # (configs/config.py:196-200) and so does TrainSchedule
+    with pytest.raises(ValueError, match='fade'):
+        TrainSchedule(transit_sch=(100, 150), alpha_step=0.01,
+                      n_epochs=400, checkpointing_period=100, lr0=1e-4)
 
 
 def test_sim_lambda_schedule():

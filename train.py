@@ -199,6 +199,12 @@ train_state_filename = os.path.join(
 checkpoint = Checkpointer(train_state_filename, n_epochs=config.N_epochs,
                           extra_checkpoint_period=1e3)
 
+if config.resume and not os.path.exists(train_state_filename):
+    # Same fall-through as the reference's first session (train.py:201-203),
+    # but say so: a deleted/renamed rolling file would otherwise silently
+    # restart a run the user believes is resuming.
+    print('resume: no checkpoint at {} — starting a fresh run'.format(
+        train_state_filename))
 if config.resume and os.path.exists(train_state_filename):
     tree, meta = checkpoint.load_state()
     # Tolerant restore (reference loads weights strict=False,
@@ -262,7 +268,10 @@ Monitoring_period = 10
 
 epoch_init = checkpoint.epoch + 1
 if config.N_epochs_session:
-    epoch_final = epoch_init + config.N_epochs_session
+    # clamp: the schedule (and the checkpoint's loss series) end at
+    # N_epochs; a session must not train past it
+    epoch_final = min(epoch_init + config.N_epochs_session,
+                      config.N_epochs + 1)
 else:
     epoch_final = config.N_epochs + 1
 
@@ -415,6 +424,10 @@ def save_checkpoint(epoch, state, growth):
         'N_dis_features': list(config.N_dis_features),
         'latent_dim': config.latent_dim,
         'image_size_init': model_cfg.image_size_init,
+        # architecture knobs eval.py must reproduce exactly (a missing
+        # neg_slope would silently rebuild with the wrong activation)
+        'N_colors': model_cfg.n_colors,
+        'LeakyReLU_leak': model_cfg.neg_slope,
     }
     host_state = jax.tree.map(np.asarray, state)
     checkpoint.save_state(epoch, host_state, meta)
@@ -498,13 +511,22 @@ def pggan_train():
                 monitored['D_loss'] = '{: >#7.4g}'.format(stats[i, 2])
                 if stats[i, 4] != 0:
                     monitored['D_grad_pen'] = '{: >#7.4g}'.format(stats[i, 4])
+                else:  # don't let a stale value keep printing once it hits 0
+                    monitored.pop('D_grad_pen', None)
                 if stats[i, 5] != 0:
                     monitored['G_sim_loss'] = '{: >#7.4g}'.format(stats[i, 5])
+                else:
+                    monitored.pop('G_sim_loss', None)
                 print(', '.join(s + ':' + v for s, v in monitored.items()))
 
         chunk_start = epoch
         epoch = chunk_end + 1
-        if chunk_end % config.checkpointing_period == 0:
+        # save on the period, and also at session end so trailing epochs of
+        # a non-period-aligned run are never trained-then-discarded (the
+        # reference only saves on the period, train.py:435 — an extra final
+        # save is strictly better)
+        if (chunk_end % config.checkpointing_period == 0
+                or chunk_end == epoch_final - 1):
             growth_end = growth_at_epoch(chunk_end)
             save_checkpoint(chunk_end, state, growth_end)
             checkpoint_artifacts(chunk_end, state, growth_end)
