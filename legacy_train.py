@@ -58,8 +58,13 @@ def make_wgan_epoch_runner(g_meta, d_meta, *, n_critic, batch_size, n_images,
             def d_loss_fn(d_params, d_bn):
                 real_scores, bn1 = discriminator_wgan(d_params, d_bn, images,
                                                       d_meta, training=True)
-                fake, _ = generator_wgan(state['g_params'], state['g_bn'], z,
-                                         g_meta, training=True)
+                # the generator runs in train mode here like the reference
+                # (its D_W_loss forwards G without eval(), so G's BatchNorm
+                # running stats advance on every critic step too) — carry
+                # the updated G BN state out instead of discarding it
+                fake, g_bn_new = generator_wgan(state['g_params'],
+                                                state['g_bn'], z,
+                                                g_meta, training=True)
                 fake = jax.lax.stop_gradient(fake)
                 fake_scores, bn2 = discriminator_wgan(d_params, bn1, fake,
                                                       d_meta, training=True)
@@ -68,16 +73,16 @@ def make_wgan_epoch_runner(g_meta, d_meta, *, n_critic, batch_size, n_images,
                 loss = -s_r + s_f
                 if drift_epsilon > 0:
                     loss = loss + drift_epsilon * jnp.mean(jnp.square(real_scores))
-                return loss, (s_r, s_f, bn2)
+                return loss, (s_r, s_f, bn2, g_bn_new)
 
-            (d_loss_val, (sr, sf, new_bn)), d_grads = jax.value_and_grad(
+            (d_loss_val, (sr, sf, new_bn, new_gbn)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state['d_params'], state['d_bn'])
             d_params, d_opt = _apply_update(state['d_params'], state['d_opt'],
                                             d_grads, opt, lr)
             # Lipschitz clamp on every critic parameter (train.py:486-487)
             d_params = jax.tree.map(lambda p: jnp.clip(p, -clamp, clamp), d_params)
             state = {**state, 'd_params': d_params, 'd_opt': d_opt,
-                     'd_bn': new_bn}
+                     'd_bn': new_bn, 'g_bn': new_gbn}
 
         kg = jax.random.fold_in(kb, 101)
         zg = sample_latent_vec(kg, (b, latent_dim))
@@ -122,6 +127,12 @@ def make_wgan_epoch_runner(g_meta, d_meta, *, n_critic, batch_size, n_images,
 
 
 def wgan_train(config, dataset, mesh=None):
+    if mesh is not None:
+        # the legacy fixed-resolution WGAN path is deliberately
+        # single-device (like the reference, SURVEY.md §2.3); say so
+        # instead of silently idling the other chips
+        print('wgan path: mesh_shape is ignored — legacy WGAN trains '
+              'single-device; use the PGGAN path for data/model parallelism')
     key = jax.random.PRNGKey(config.seed)
     kg, kd, keval = jax.random.split(key, 3)
     g_params, g_bn, g_meta = init_generator_wgan(

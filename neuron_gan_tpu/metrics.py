@@ -51,6 +51,9 @@ def _extract_patches(x, key, patch_size, n_patches):
     all patches — Karras et al.'s finalize_descriptors; per-patch
     normalization would discard patch-contrast information)."""
     b, h, w, c = x.shape
+    # levels smaller than the patch (early growth phases: 4x4) degrade to
+    # whole-image "patches" instead of slicing out of bounds
+    patch_size = min(patch_size, h, w)
     k_img, k_y, k_x = jax.random.split(key, 3)
     bi = jax.random.randint(k_img, (n_patches,), 0, b)
     yi = jax.random.randint(k_y, (n_patches,), 0, h - patch_size + 1)

@@ -29,15 +29,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(mesh_shape: Optional[dict] = None) -> Optional[Mesh]:
-    """mesh_shape e.g. {'data': 8} or {'data': 4, 'model': 2}; None = no mesh."""
+    """mesh_shape e.g. {'data': 8} or {'data': 4, 'model': 2}; None = no mesh.
+
+    Device assignment goes through mesh_utils.create_device_mesh so that on
+    real TPU slices the minor mesh axis lands on physically adjacent chips
+    (the per-layer model-axis collectives ride nearest-neighbor ICI); a
+    plain jax.devices() reshape ignores the interconnect topology.  Falls
+    back to the naive reshape where mesh_utils rejects the configuration
+    (e.g. virtual CPU devices with a partial device count).
+    """
     if not mesh_shape:
         return None
     axis_names = tuple(mesh_shape.keys())
     sizes = tuple(int(v) for v in mesh_shape.values())
     n = int(np.prod(sizes))
     devices = jax.devices()
-    assert len(devices) >= n, f'need {n} devices, have {len(devices)}'
-    dev_array = np.array(devices[:n]).reshape(sizes)
+    if len(devices) < n:
+        raise ValueError(f'mesh {mesh_shape} needs {n} devices, '
+                         f'have {len(devices)}')
+    try:
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_device_mesh(sizes, devices[:n])
+    except Exception:
+        dev_array = np.array(devices[:n]).reshape(sizes)
     return Mesh(dev_array, axis_names)
 
 

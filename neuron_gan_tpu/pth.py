@@ -68,9 +68,25 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride, requires_grad,
     arr = storage['array']
     if storage_offset:
         arr = arr[storage_offset:]
+    # Bounds-check the strided view against the storage before as_strided:
+    # a corrupted/crafted checkpoint could otherwise read process memory
+    # past the buffer (this loader advertises safe parsing of untrusted
+    # files — the unpickler whitelist alone doesn't cover tensor geometry).
+    sizes = tuple(int(s) for s in size)
+    strides = tuple(int(s) for s in stride)
+    if len(sizes) != len(strides) or any(s < 0 for s in sizes + strides):
+        raise ValueError(f'invalid tensor geometry in checkpoint: '
+                         f'size={sizes} stride={strides}')
+    if 0 in sizes:
+        return np.zeros(sizes, dtype=arr.dtype)
+    extent = 1 + sum(st * (sz - 1) for st, sz in zip(strides, sizes))
+    if extent > arr.size:
+        raise ValueError(f'tensor extent {extent} elements exceeds storage '
+                         f'of {arr.size} (size={sizes} stride={strides} '
+                         f'offset={storage_offset})')
     itemsize = arr.itemsize
-    byte_strides = tuple(s * itemsize for s in stride)
-    out = np.lib.stride_tricks.as_strided(arr, shape=tuple(size),
+    byte_strides = tuple(s * itemsize for s in strides)
+    out = np.lib.stride_tricks.as_strided(arr, shape=sizes,
                                           strides=byte_strides)
     return np.array(out)  # own the memory
 

@@ -444,3 +444,20 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path):
                     jax.tree.leaves(payload['state']['d_params'])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(payload['series']['Loss_fake'], np.ones(7))
+
+
+def test_pth_rejects_out_of_bounds_tensor_geometry():
+    # a corrupted/crafted .pth must not read past its storage buffer
+    import numpy as np
+    import pytest
+    from neuron_gan_tpu.pth import _rebuild_tensor_v2
+    storage = {'array': np.zeros(4, np.float32)}
+    with pytest.raises(ValueError, match='exceeds storage'):
+        _rebuild_tensor_v2(storage, 0, (10 ** 6,), (1,), False, None)
+    with pytest.raises(ValueError, match='invalid tensor geometry'):
+        _rebuild_tensor_v2(storage, 0, (2,), (-1,), False, None)
+    # in-bounds strided view still works, including offset
+    out = _rebuild_tensor_v2(storage, 1, (3,), (1,), False, None)
+    assert out.shape == (3,)
+    # zero-size dims are empty tensors, not reads
+    assert _rebuild_tensor_v2(storage, 0, (0, 5), (1, 1), False, None).size == 0

@@ -75,3 +75,20 @@ def test_swd_deterministic_per_key():
                              n_repeats=1)
     np.testing.assert_array_equal(lv1, lv2)
     assert d1 == d2
+
+
+def test_swd_below_patch_size_degrades_to_whole_image():
+    # early growth phases (4x4, 8x8) are smaller than the 7x7 patch; the
+    # metric must degrade to whole-image patches instead of slicing OOB
+    import jax
+    import numpy as np
+    from neuron_gan_tpu.metrics import swd_multiscale
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((8, 4, 4, 1)).astype(np.float32)
+    b = rng.standard_normal((8, 4, 4, 1)).astype(np.float32)
+    levels, mean = swd_multiscale(a, b, jax.random.PRNGKey(0),
+                                  n_patches=64, n_repeats=1)
+    assert np.isfinite(mean)
+    _, same = swd_multiscale(a, a, jax.random.PRNGKey(0),
+                             n_patches=64, n_repeats=1)
+    assert same < mean
