@@ -311,9 +311,7 @@ def import_configs(filename, overwritten_configs=None, interactive=True):
     user_knobs.update(overrides)  # explicit CLI flags win
     globals().update(user_knobs)
 
-    global samples_sub_dir
-    samples_sub_dir = os.path.join(images_dir, str(ID))
-
+    # (samples_sub_dir is derived inside define_ID_dependent_configs)
     define_ID_dependent_configs()
     validate_configs(interactive=interactive)
 

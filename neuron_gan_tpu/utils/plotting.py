@@ -57,28 +57,33 @@ def save_image_grid(images_nhwc, filename, nrow=8, normalize=True):
     img.save(filename)
 
 
-def gen_samples(g_params, cfg, growth, n_images=16, seed=None, key=None):
-    """Seeded (or keyed) latents -> generator forward. Returns (images, z)."""
-    if seed is not None:
-        z = sample_latent_vec_seeded((n_images, cfg.latent_dim), seed=seed)
-    else:
-        key = key if key is not None else jax.random.PRNGKey(0)
-        z = sample_latent_vec(key, (n_images, cfg.latent_dim))
+# One module-level jitted forward: a fresh jax.jit per call would start
+# with an empty trace cache, retracing the generator at every checkpoint /
+# SWD evaluation of a long run.
+_generator_fwd = jax.jit(generator_pg, static_argnames=('cfg', 'phase'))
+
+
+def gen_samples(g_params, cfg, growth, n_images=16, seed=None, key=None,
+                z=None):
+    """Latents (seeded / keyed / caller-provided ``z``) -> generator
+    forward.  Returns (images, z)."""
+    if z is None:
+        if seed is not None:
+            z = sample_latent_vec_seeded((n_images, cfg.latent_dim), seed=seed)
+        else:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            z = sample_latent_vec(key, (n_images, cfg.latent_dim))
     alpha = growth.alpha if growth.fading else None
-    fwd = jax.jit(generator_pg, static_argnames=('cfg', 'phase'))
-    images = fwd(g_params, z, cfg=cfg, phase=growth.phase, alpha=alpha)
+    images = _generator_fwd(g_params, z, cfg=cfg, phase=growth.phase,
+                            alpha=alpha)
     return images, z
 
 
 def plot_gen_samples(g_params, cfg, growth, n_images=16, seed=None,
                      filename=None, eval_noise=None):
-    if eval_noise is not None:
-        alpha = growth.alpha if growth.fading else None
-        fwd = jax.jit(generator_pg, static_argnames=('cfg', 'phase'))
-        images = fwd(g_params, eval_noise, cfg=cfg, phase=growth.phase, alpha=alpha)
-        n_images = images.shape[0]
-    else:
-        images, _ = gen_samples(g_params, cfg, growth, n_images, seed=seed)
+    images, _ = gen_samples(g_params, cfg, growth, n_images, seed=seed,
+                            z=eval_noise)
+    n_images = images.shape[0]
     images = np.asarray(images)
     # Upsample mid-growth samples to the final resolution (nearest — the
     # reference uses F.interpolate's default mode, utils.py:598-600).

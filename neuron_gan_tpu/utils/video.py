@@ -82,10 +82,11 @@ def make_samples_video(video_filename, frames_dir, video_length=20,
     w = 720
     subprocess.run(['ffmpeg', '-y', '-loglevel', 'warning', '-i', avi,
                     '-vf', f'scale={w}:-2,setsar=1', mp4], check=False)
-    subprocess.run(['ffmpeg', '-y', '-loglevel', 'warning', '-i', avi, gif,
+    subprocess.run(['ffmpeg', '-y', '-loglevel', 'warning', '-i', avi,
                     '-filter_complex',
                     f'fps=20,scale={w}:-2:flags=lanczos,split[s0][s1];'
-                    '[s0]palettegen=max_colors=8[p];[s1][p]paletteuse=dither=bayer'],
+                    '[s0]palettegen=max_colors=8[p];[s1][p]paletteuse=dither=bayer',
+                    gif],
                    check=False)
     # only drop the intermediate once the mp4 conversion actually succeeded
     if os.path.exists(mp4):

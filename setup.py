@@ -10,15 +10,47 @@ Drive links (reference setup.py:46-87; prompts and asset URLs are interface
 parity).  Downloads are skipped automatically in non-interactive runs.
 """
 
+import html
 import os
+import re
 import zipfile
 from dataclasses import dataclass
+from urllib.parse import urlencode
 from urllib.request import urlretrieve
 
 from neuron_gan_tpu.configs import config
 from neuron_gan_tpu.utils import validated_input
 
 _GDRIVE = 'https://drive.google.com/uc?export=download&id={}'
+
+
+def gdrive_download(drive_id: str, dest: str, fetch=urlretrieve):
+    """Download a Google Drive file, following the large-file handshake.
+
+    For files past Drive's virus-scan size limit the first request returns
+    an HTML interstitial ("can't scan for viruses — download anyway?")
+    instead of the payload; the real download URL is the interstitial's
+    form action plus its hidden inputs (id/confirm/uuid).  A plain
+    urlretrieve would silently save that HTML as the archive and the
+    zipfile extraction would fail on it.
+    """
+    fetch(_GDRIVE.format(drive_id), dest)
+    with open(dest, 'rb') as fh:
+        head = fh.read(1024)
+    if not head.lstrip()[:15].lower().startswith((b'<!doctype', b'<html')):
+        return  # got the payload directly (small file)
+    with open(dest, encoding='utf-8', errors='replace') as fh:
+        page = fh.read()
+    action = re.search(r'<form[^>]*action="([^"]+)"', page)
+    if not action:
+        raise RuntimeError(
+            'Google Drive returned an HTML page with no download form — '
+            'the file may be unavailable or the quota exceeded.')
+    params = dict(re.findall(r'name="([^"]+)"\s+value="([^"]*)"', page))
+    url = html.unescape(action.group(1))
+    if params:
+        url += ('&' if '?' in url else '?') + urlencode(params)
+    fetch(url, dest)
 
 
 @dataclass(frozen=True)
@@ -41,7 +73,7 @@ class Asset:
 
     def install(self):
         print(f'Downloading {self.archive}')
-        urlretrieve(_GDRIVE.format(self.drive_id), self.archive)
+        gdrive_download(self.drive_id, self.archive)
         print('Download complete')
         print(f'Extracting {self.archive}')
         with zipfile.ZipFile(self.archive) as zf:

@@ -74,3 +74,47 @@ def test_save_vars_dump(tmp_path):
         saved = pickle.load(f)
     assert saved['a'] == 1
     assert saved['unpicklable'] == 'ERROR: variable cannot be saved'
+
+
+def test_gdrive_download_follows_large_file_interstitial(tmp_path):
+    """setup.py's downloader must follow Drive's virus-scan interstitial
+    (form action + hidden inputs) instead of saving the HTML as the zip."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'setup_boot', os.path.join(os.path.dirname(__file__), os.pardir,
+                                   'setup.py'))
+    boot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(boot)
+
+    interstitial = (
+        '<!DOCTYPE html><html><body>'
+        '<form id="download-form" '
+        'action="https://drive.usercontent.google.com/download" method="get">'
+        '<input type="hidden" name="id" value="FILEID"/>'
+        '<input type="hidden" name="confirm" value="t"/>'
+        '<input type="hidden" name="uuid" value="abc-123"/>'
+        '</form></body></html>')
+    calls = []
+
+    def fake_fetch(url, dest):
+        calls.append(url)
+        with open(dest, 'wb') as fh:
+            fh.write(interstitial.encode() if len(calls) == 1 else b'PK-payload')
+
+    dest = str(tmp_path / 'archive.zip')
+    boot.gdrive_download('FILEID', dest, fetch=fake_fetch)
+    assert len(calls) == 2
+    assert calls[1].startswith('https://drive.usercontent.google.com/download?')
+    assert 'confirm=t' in calls[1] and 'uuid=abc-123' in calls[1]
+    assert open(dest, 'rb').read() == b'PK-payload'
+
+    # small files come straight through: one fetch, payload kept
+    calls.clear()
+
+    def direct_fetch(url, dest):
+        calls.append(url)
+        with open(dest, 'wb') as fh:
+            fh.write(b'PK-direct')
+
+    boot.gdrive_download('FILEID', dest, fetch=direct_fetch)
+    assert len(calls) == 1 and open(dest, 'rb').read() == b'PK-direct'
