@@ -45,7 +45,7 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, *, neg_slope, eps, n_ch):
     dx_ref[:] = jnp.where(x >= 0, dy, dy * neg_slope)
 
 
-def _rows_call(kernel, n_out, x2d, *more, interpret=False, **kw):
+def _rows_call(kernel, x2d, *more, interpret=False, **kw):
     rows, ch = x2d.shape
     tile = min(_TILE_R, rows)
     grid = (pl.cdiv(rows, tile),)
@@ -68,7 +68,7 @@ def lrelu_pixel_norm_pallas(x, neg_slope=0.2, eps=1e-8, interpret=False):
     """Fused LeakyReLU+PixelNorm on NHWC (channels last)."""
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
-    out = _rows_call(_fwd_kernel, 1, x2d, neg_slope=neg_slope, eps=eps,
+    out = _rows_call(_fwd_kernel, x2d, neg_slope=neg_slope, eps=eps,
                      interpret=interpret)
     return out.reshape(shape)
 
@@ -81,7 +81,7 @@ def _bwd_rule(neg_slope, eps, interpret, x, g):
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
     g2d = g.reshape(-1, shape[-1])
-    dx = _rows_call(_bwd_kernel, 1, x2d, g2d, neg_slope=neg_slope, eps=eps,
+    dx = _rows_call(_bwd_kernel, x2d, g2d, neg_slope=neg_slope, eps=eps,
                     interpret=interpret)
     return (dx.reshape(shape),)
 

@@ -38,7 +38,9 @@ def _load():
             ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_float)]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale .so missing one of the symbols — fall
+        # back to numpy rather than crashing dataset preprocessing
         _LIB = None
     return _LIB
 

@@ -461,3 +461,40 @@ def test_pth_rejects_out_of_bounds_tensor_geometry():
     assert out.shape == (3,)
     # zero-size dims are empty tensors, not reads
     assert _rebuild_tensor_v2(storage, 0, (0, 5), (1, 1), False, None).size == 0
+
+
+def test_convert_checkpoint_bare_state_and_custom_knobs(tmp_path):
+    """npz_to_pth accepts a bare state tree (the stretch tool's layout,
+    which train.py also resumes) and propagates N_colors/LeakyReLU_leak
+    into the reference attrs instead of silently writing defaults."""
+    import importlib.util
+    import os
+    import jax
+    from neuron_gan_tpu.models import (
+        PGConfig, init_generator_pg, init_discriminator_pg)
+    from neuron_gan_tpu.checkpoint import save_pytree_npz
+    from neuron_gan_tpu.pth import load_pth
+
+    cfg = PGConfig(n_gen_features=(8, 8), n_dis_features=(8, 8),
+                   latent_dim=8, image_size_init=4, n_colors=3,
+                   neg_slope=0.3)
+    state = {'g_params': init_generator_pg(jax.random.PRNGKey(0), cfg),
+             'd_params': init_discriminator_pg(jax.random.PRNGKey(1), cfg)}
+    meta = {'epoch': 1, 'lr': 1e-4, 'image_size': 8, 'alpha': 1.0,
+            'phase': 1, 'ID': 't', 'N_gen_features': [8, 8],
+            'N_dis_features': [8, 8], 'latent_dim': 8,
+            'image_size_init': 4, 'N_colors': 3, 'LeakyReLU_leak': 0.3}
+    src = str(tmp_path / 'bare.npz')
+    dst = str(tmp_path / 'bare.pth')
+    save_pytree_npz(src, state, meta)  # bare tree: no {'state': ...} wrapper
+
+    tool = os.path.join(os.path.dirname(__file__), os.pardir, 'tools',
+                        'convert_checkpoint.py')
+    spec = importlib.util.spec_from_file_location('cc_tool', tool)
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    cc.npz_to_pth(src, dst)
+
+    sd = load_pth(dst)
+    assert sd['Generator_attrs']['N_colors'] == 3
+    assert sd['Generator_attrs']['LeakyReLU_neg_slope'] == 0.3

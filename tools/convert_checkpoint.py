@@ -38,11 +38,17 @@ def npz_to_pth(src, dst):
         n_dis_features=tuple(meta['N_dis_features']),
         latent_dim=int(meta['latent_dim']),
         image_size_init=int(meta['image_size_init']),
+        # propagate the architecture knobs train.py persists; older
+        # checkpoints predate the keys and used these defaults
+        n_colors=int(meta.get('N_colors', 1)),
+        neg_slope=float(meta.get('LeakyReLU_leak', 0.2)),
     )
     growth = GrowthState(cfg)
     if int(meta['image_size']) > cfg.image_size_init or float(meta['alpha']) < 1.0:
         growth.set_resolution(int(meta['image_size']), float(meta['alpha']))
-    state = payload['state']
+    # bare state trees (e.g. tools/stretch_1024.py) are valid checkpoints
+    # too — train.py resumes them; accept both layouts here
+    state = payload['state'] if 'state' in payload else payload
     series = payload.get('series', {})
     save_reference_checkpoint(
         dst, state['g_params'], state['d_params'], cfg, growth,
