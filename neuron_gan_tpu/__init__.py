@@ -31,6 +31,15 @@ def enable_compilation_cache(path=None):
     """
     import os
     import jax
+    if jax.default_backend() == 'cpu':
+        # Do NOT cache for the CPU backend: XLA:CPU cache entries are AOT
+        # results that embed the compiling host's CPU features, and a
+        # cache written on a different host (VM migration) SIGILLs or
+        # segfaults on load — observed in practice via the cpu_aot_loader
+        # machine-feature warnings followed by exit 139.  CPU compiles are
+        # seconds; the cache's value is the minutes-long remote TPU
+        # compiles, which stay cached below.
+        return None
     if path is None:
         path = os.environ.get(
             'NEURON_GAN_TPU_CACHE',

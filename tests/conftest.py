@@ -33,3 +33,20 @@ def tiny_dataset_dir(tmp_path_factory):
         img[0:2, 0:2] = 0
         Image.fromarray(img.astype(np.uint8), mode='L').save(d / f'im{i}.png')
     return str(d)
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_between_modules():
+    """Free executables/trace caches after each test module.
+
+    One pytest process compiles ~200 XLA:CPU programs across the suite;
+    on some hosts the accumulated JIT state eventually segfaults the
+    XLA:CPU compiler itself (observed: deterministic SIGSEGV inside
+    backend_compile_and_load at the ~200th compile, position-dependent —
+    moving tests moved the crash).  Modules don't share jitted functions,
+    so dropping the caches between modules costs nothing and keeps the
+    per-process compiler state bounded.
+    """
+    yield
+    import jax
+    jax.clear_caches()
