@@ -24,22 +24,13 @@ def build_lowered(phase):
     import neuron_gan_tpu
     neuron_gan_tpu.enable_compilation_cache()
     from neuron_gan_tpu.models import (
-        PGConfig, init_generator_pg, init_discriminator_pg)
+        init_generator_pg, init_discriminator_pg)
     from neuron_gan_tpu.train_step import (
-        ChunkSpec, make_epoch_runner, make_optimizer, init_train_state)
+        make_epoch_runner, make_optimizer, init_train_state)
+    from neuron_gan_tpu.flagship import flagship_config, flagship_chunk_spec
 
-    cfg = PGConfig(
-        n_gen_features=(128, 64, 32, 32, 16, 16),
-        n_dis_features=(16, 16, 32, 32, 64, 128),
-        latent_dim=64, image_size_init=16, n_colors=1,
-        packed_min_res=64, precision=None, compute_dtype='float32')
-    spec = ChunkSpec(
-        phase=phase, fading=False, n_critic=1, batch_size=8,
-        n_images=16, shuffle=True, crop_size=512, translation=0.05,
-        augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
-        sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
-        lr_gamma=0.9998157, lr_boundary=0, lr_cap=12500, alpha_start=0,
-        alpha_step=1e-4, latent_dim=64, fast_augment=True)
+    cfg = flagship_config()
+    spec = flagship_chunk_spec(phase)
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     g = init_generator_pg(kg, cfg)
     d = init_discriminator_pg(kd, cfg)
@@ -84,12 +75,13 @@ def main():
         print(f'# wrote {len(txt) / 1e6:.1f} MB HLO to {args.dump}')
 
     kinds = tuple(k.strip() for k in args.kinds.split(','))
+    kind_re = re.compile(r'(%?[\w.\-]+) = (\S+) ('
+                         + '|'.join(re.escape(k) for k in kinds) + r')\(')
     rows = []
     for line in txt.splitlines():
         s = line.strip()
-        m = re.match(r'(%?[\w.\-]+) = (\S+) (reshape|transpose|copy|scatter|'
-                     r'gather|dynamic-update-slice)\(', s)
-        if not m or m.group(3) not in kinds:
+        m = kind_re.match(s)
+        if not m:
             continue
         nbytes, shape = shape_bytes(m.group(2))
         if nbytes < args.min_mb * 1e6:

@@ -34,20 +34,18 @@ def main():
     neuron_gan_tpu.enable_compilation_cache()
     from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
     from neuron_gan_tpu.losses import d_w_loss, d_grad_pen_loss, g_w_loss
-    from neuron_gan_tpu.models import (PGConfig, init_generator_pg,
+    from neuron_gan_tpu.models import (init_generator_pg,
                                        init_discriminator_pg, generator_pg,
                                        discriminator_pg)
     from neuron_gan_tpu.train_step import make_optimizer
     from neuron_gan_tpu.utils.latents import sample_latent_vec
+    from neuron_gan_tpu.flagship import flagship_config
 
-    cfg = PGConfig(
-        n_gen_features=(128, 64, 32, 32, 16, 16),
-        n_dis_features=(16, 16, 32, 32, 64, 128),
-        latent_dim=64, image_size_init=16, n_colors=1,
-        packed_min_res=64, precision=None, compute_dtype=args.compute_dtype)
+    cfg = flagship_config(compute_dtype=args.compute_dtype)
     phase = args.phase
     res = cfg.resolution(phase)
-    pad = res + res // 2  # stack padded by size//4 on each side
+    crop = cfg.resolution(cfg.n_phases - 1)   # dataset max (512)
+    pad = crop + crop // 2                    # production padded stack (768)
     B = 8
 
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
@@ -61,8 +59,11 @@ def main():
     raw = jnp.asarray(rng.random((B, pad, pad, 1)).astype(np.float32))
     imgs = jnp.asarray(rng.random((B, res, res, 1)).astype(np.float32) * 2 - 1)
 
-    aug_spec = AugmentSpec(crop_size=res, out_size=res, translation=0.05,
-                           augment=True, fast=True)
+    # the production augmentation: crop window = dataset max, resize to
+    # phase scale, fused fast path + shear warp (the shipping defaults —
+    # neuron_gan_tpu/flagship.py)
+    aug_spec = AugmentSpec(crop_size=crop, out_size=res, translation=0.05,
+                           augment=True, fast=True, shear=True)
 
     def g_apply(p, z):
         return generator_pg(p, z, cfg, phase)

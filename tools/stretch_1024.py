@@ -35,19 +35,18 @@ def main():
     import jax.numpy as jnp
     from neuron_gan_tpu.checkpoint import save_pytree_npz, load_pytree_npz
     from neuron_gan_tpu.models import (
-        PGConfig, GrowthState, init_generator_pg, init_discriminator_pg,
+        GrowthState, init_generator_pg, init_discriminator_pg,
         generator_pg)
     from neuron_gan_tpu.train_step import (
-        ChunkSpec, make_epoch_runner, make_optimizer, init_train_state)
+        make_epoch_runner, make_optimizer, init_train_state)
     from neuron_gan_tpu.utils.plotting import plot_gen_samples
 
+    from neuron_gan_tpu.flagship import flagship_config, flagship_chunk_spec
     os.makedirs(args.out, exist_ok=True)
-    cfg = PGConfig(
+    # flagship execution defaults, one growth layer deeper (16 -> 1024)
+    cfg = flagship_config(
         n_gen_features=(128, 64, 32, 32, 16, 16, 8),
-        n_dis_features=(8, 16, 16, 32, 32, 64, 128),
-        latent_dim=64, image_size_init=16, packed_min_res=64,
-        precision=None)  # the shipping training default (fast precision
-                         # + fused upsample-conv; BASELINE.md)
+        n_dis_features=(8, 16, 16, 32, 32, 64, 128))
     top = cfg.n_phases - 1
     res = cfg.resolution(top)
     assert res == 1024, res
@@ -64,13 +63,9 @@ def main():
     images = jnp.asarray(rng.random((n_images, 1536, 1536, 1))
                          .astype(np.float32))
 
-    spec = ChunkSpec(
-        phase=top, fading=False, n_critic=1, batch_size=args.batch,
-        n_images=n_images, shuffle=True, crop_size=1024, translation=0.05,
-        augment=True, gp_lambda=10.0, drift_epsilon=0.001, sim_lambda0=0.0,
-        sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4, lr_gamma=0.9998,
-        lr_boundary=0, lr_cap=1000, alpha_start=0, alpha_step=1e-4,
-        latent_dim=64, ema_beta=args.ema_beta, fast_augment=True)
+    spec = flagship_chunk_spec(
+        top, batch_size=args.batch, n_images=n_images, crop_size=1024,
+        lr_gamma=0.9998, lr_cap=1000, ema_beta=args.ema_beta)
 
     runner = make_epoch_runner(cfg, spec, args.epochs, donate=False)
     print('compiling 1024^2 train step...', flush=True)
