@@ -25,9 +25,15 @@ from precision_ab import make_quality_ab_parser, run_quality_ab  # noqa: E402
 
 def main():
     args = make_quality_ab_parser('/tmp/augment_ab').parse_args()
+    # pin shear off in BOTH arms so this A/B isolates the ordering knob:
+    # shear is inert when fast_augment=False, so leaving the shared
+    # shear_warp=True default would make the 'fast' arm vary two knobs at
+    # once (tools/shear_ab.py covers the shear knob on its own)
     run_quality_ab(args,
-                   arms=[('exact', {'fast_augment': False}),
-                         ('fast', {'fast_augment': True})],
+                   arms=[('exact', {'fast_augment': False,
+                                    'shear_warp': False}),
+                         ('fast', {'fast_augment': True,
+                                   'shear_warp': False})],
                    verdict_ok='fast_ok', verdict_worse='fast_worse')
 
 

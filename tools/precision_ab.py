@@ -66,10 +66,23 @@ def make_synthetic_neurons(n=16, res=512, seed=0):
 def build_dataset_dir(path, res, seed=0, n=16):
     from PIL import Image
     os.makedirs(path, exist_ok=True)
-    if len([f for f in os.listdir(path) if f.endswith('.png')]) == n:
-        return
+    # key the cache on the actual parameters — counting PNGs alone would
+    # silently reuse a stale dataset across --seed/--res values, collapsing
+    # the across-seed spread ab_aggregate calibrates against
+    meta_path = os.path.join(path, 'dataset_meta.json')
+    key = {'res': res, 'seed': seed, 'n': n}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh) == key and len(
+                    [f for f in os.listdir(path) if f.endswith('.png')]) == n:
+                return
+    for f in os.listdir(path):
+        if f.endswith('.png'):
+            os.remove(os.path.join(path, f))
     for i, img in enumerate(make_synthetic_neurons(n=n, res=res, seed=seed)):
         Image.fromarray(img, mode='L').save(os.path.join(path, f'n{i:02d}.png'))
+    with open(meta_path, 'w') as fh:
+        json.dump(key, fh)
 
 
 def run_arm(precision_name, dataset, args, out_dir, fast_augment=False,
@@ -203,7 +216,10 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
     d_b = results[base_tag]['swd_mean']
     d_c = results[cand_tag]['swd_mean']
     print(json.dumps({
-        'verdict': verdict_ok if d_c <= 1.15 * d_b else verdict_worse,
+        # single-seed ratios sit inside GAN seed noise (the baseline arm
+        # fails the 1.15x bar against its own reruns — BASELINE.md); the
+        # promotion decision is tools/ab_aggregate.py over >= 4 seeds
+        'seed_verdict_hint': verdict_ok if d_c <= 1.15 * d_b else verdict_worse,
         base_tag: d_b, cand_tag: d_c,
         'speedup': round(results[base_tag]['train_seconds']
                          / results[cand_tag]['train_seconds'], 2)}))
@@ -245,7 +261,10 @@ def main():
 
     results = {}
     for arm in args.arms:
-        fake, train_s = run_arm(arm, dataset, args, args.out)
+        # shipping augmentation defaults, matching run_quality_ab — the
+        # precision knob is measured on the production pipeline
+        fake, train_s = run_arm(arm, dataset, args, args.out,
+                                fast_augment=True, shear_warp=True)
         lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
                                   n_patches=2048, n_repeats=8)
         results[arm] = {'swd_mean': round(mean, 4),
