@@ -69,7 +69,7 @@ def build_dataset_dir(path, res, seed=0, n=16):
     # key the cache on the actual parameters — counting PNGs alone would
     # silently reuse a stale dataset across --seed/--res values, collapsing
     # the across-seed spread ab_aggregate calibrates against
-    meta_path = os.path.join(path, 'dataset_meta.json')
+    meta_path = os.path.join(path, '.dataset_meta.json')
     key = {'res': res, 'seed': seed, 'n': n}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
