@@ -62,6 +62,14 @@ class AugmentSpec:
     # translation + flip).  Gated by config.shear_warp.
     shear: bool = False
 
+    def __post_init__(self):
+        if self.shear and not self.fast:
+            # the non-fused (reference-exact) path has no shear branch; a
+            # silent fall-through would ship/benchmark the gather warp
+            # while the caller believes it selected shear
+            raise ValueError('AugmentSpec.shear requires fast=True '
+                             '(the reference-exact order has no shear path)')
+
 
 def _affine_warp_nearest(img, angle_deg, tx, ty, flip, window=None):
     """Warp one (P, P, C) image: out[p] = img[R(-a)·(p_c - t) + c], zero fill.
@@ -175,15 +183,33 @@ def _quarter_turn(img, m):
 
 def _shear_geometry(p, crop, max_t):
     """Static canvas geometry: (canvas, m1, m2) — canvas size and per-pass
-    shift bounds.  half >= p/2 holds the source frame; half >= crop + slack
-    holds every intermediate position of content that lands in the crop
-    window (the y-pass output y IS the final y, and |v2y| <= crop/2 +
-    sin(45)*|v3x| + |d| <= crop + |t| — see the derivation in tests)."""
+    shift bounds.
+
+    The canvas must hold, at every pass, all content that can still reach
+    the centered crop window ``s`` (back-propagating the window through the
+    read chain x3 = x + round(a*y), y1 = y + round(b*x3 + dy),
+    x0 = x3 + round(a*y1 + dx - a*dy), with |a| <= tan(22.5deg),
+    |b| <= sin(45deg), |dx|,|dy| <= 1.415*max_t and dx - a*dy = -(tx+a*ty)):
+
+      * pass-2 read columns:   |x3| <= 0.70711*s                (+slack)
+      * source / pass-1 rows:  |y1| <= min(p/2, s + 1.415*t)    (+slack)
+      * source columns:        |x0| <= min(p/2, 1.1214*s + 2.6*t) (+slack)
+
+    Content beyond these extents can never land in the window, so when the
+    padded frame is larger than the canvas the source is center-CROPPED
+    into it (the caller handles pad < 0); this keeps every butterfly stage
+    at the minimum pixel count — the canvas used to be bounded below by
+    crop + max_t + 8 on top of p/2, ~2x the necessary pixels at the
+    flagship geometry.  Shift bounds m1/m2 cover the shear offsets at
+    every canvas row (m1: 0.41422*H + 1.415*t; m2: 0.70711*H + 1.415*t),
+    so the defensive clip in _shift_rows never binds on real content."""
     t_px = int(math.ceil(max_t)) + 2
-    half = max(p // 2, crop + t_px + 8)
-    canvas = 2 * half + (p % 2)          # keep canvas - p even
-    if (canvas - p) % 2:
-        canvas += 1
+    half = max(
+        int(math.ceil(0.70711 * crop)) + 8,
+        min(p // 2, crop + int(math.ceil(1.415 * t_px)) + 8),
+        min(p // 2, int(math.ceil(1.1214 * crop + 2.6 * t_px)) + 8),
+    )
+    canvas = 2 * half + (p % 2)          # canvas - p stays even
     m1 = int(0.41422 * (canvas - 1) / 2 + 1.5 * t_px) + 2
     m2 = int(0.70711 * (canvas - 1) / 2 + 1.5 * t_px) + 2
     return canvas, m1, m2
@@ -217,7 +243,13 @@ def _shear_warp_nearest(img, angle_deg, tx, ty, flip, window, max_t):
 
     x = img.transpose(2, 0, 1)                  # channels to front
     x = jax.vmap(_quarter_turn, in_axes=(0, None))(x, m)
-    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
+    if pad >= 0:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
+    else:
+        # frame larger than the canvas: center-crop away content that can
+        # never reach the crop window (see _shear_geometry)
+        k = -pad
+        x = x[:, k:p - k, k:p - k]
 
     ys = jnp.arange(canvas, dtype=jnp.float32) - half_c
     s1 = jnp.round(a * ys + (dx - a * dy)).astype(jnp.int32)
@@ -277,10 +309,13 @@ def _augment_one(img, key, spec: AugmentSpec, fused=False):
         flip = jax.random.bernoulli(k_f)
         if fused:
             img = _color_jitter(img, k_j)
-            if spec.shear:
+            # the shear warp needs an even crop margin (its flip is a row
+            # reversal of the centered window); geometries with an odd
+            # margin — possible with odd-sized raw images — fall back to
+            # the crop-fused gather warp (static, decided at trace time)
+            if spec.shear and (p - s) % 2 == 0:
                 img = _shear_warp_nearest(img, angle, tx, ty, flip,
-                                          window=(top, s),
-                                          max_t=spec.translation * p)
+                                          window=(top, s), max_t=max_t)
             else:
                 img = _affine_warp_nearest(img, angle, tx, ty, flip,
                                            window=(top, s))
@@ -304,8 +339,13 @@ def augment_batch(images, key, spec: AugmentSpec):
         # exactly; the gather runs over out^2 points instead of P^2.
         p = images.shape[1]
         p_small = int(round(p * spec.out_size / spec.crop_size))
+        if spec.shear and (p_small - spec.out_size) % 2 and (p - spec.crop_size) % 2 == 0:
+            # keep the phase-scale margin even (round() can flip parity)
+            # so the shear warp stays active below the top phase; one
+            # pixel of frame proportion, same order as the round() above
+            p_small += 1
         images = resize_antialias(images, p_small)
-        spec = dataclasses.replace(spec, crop_size=spec.out_size, fast=False)
+        spec = dataclasses.replace(spec, crop_size=spec.out_size)
     keys = jax.random.split(key, images.shape[0])
     out = jax.vmap(lambda im, k: _augment_one(im, k, spec, fused=fused))(
         images, keys)

@@ -418,3 +418,53 @@ def test_shear_augment_batch_pipeline():
     assert a.min() >= -1.0 - 1e-6 and a.max() <= 1.0 + 1e-6
     # same parameter draws: the two warps stay close on smooth images
     assert np.abs(a - g).mean() < 0.1
+
+
+def test_shear_warp_geometry_sweep_bit_exact():
+    """The canvas geometry must be bit-exact vs the pointwise reference
+    across frame/crop proportions — including frames large enough that the
+    canvas CROPS the source (pad < 0) rather than padding it — over dense
+    angles (worst-case residuals near +-45deg) and max-magnitude
+    translations."""
+    rng = np.random.default_rng(17)
+    # (p, s): flagship proportion p=1.5s, tight margin p=1.25s-ish,
+    # zero margin p=s, and a frame far larger than the crop (crop branch)
+    for (pp, ss) in [(24, 16), (20, 16), (16, 16), (48, 16), (36, 24)]:
+        img = rng.random((pp, pp, 1)).astype(np.float32)
+        top = (pp - ss) // 2
+        max_t = 0.05 * pp
+        for angle in [-179.3, -135.0, -89.9, -45.2, -44.8, -1.0, 0.4,
+                      43.9, 45.1, 90.2, 136.6, 178.2]:
+            tx = float(np.round(rng.uniform(-max_t, max_t)))
+            ty = float(np.round(rng.uniform(-max_t, max_t)))
+            flip = bool(rng.integers(2))
+            got = np.asarray(_shear_warp_nearest(
+                jnp.asarray(img), jnp.float32(angle), jnp.float32(tx),
+                jnp.float32(ty), jnp.asarray(flip), window=(top, ss),
+                max_t=max_t))
+            want = _shear_reference(img[..., 0], angle, tx, ty, flip,
+                                    (top, ss))
+            np.testing.assert_array_equal(
+                got[..., 0], want,
+                err_msg=f'p={pp} s={ss} angle={angle} t=({tx},{ty})')
+
+
+def test_shear_spec_requires_fast():
+    with pytest.raises(ValueError, match='requires fast'):
+        AugmentSpec(crop_size=16, out_size=16, fast=False, shear=True)
+
+
+def test_shear_odd_margin_falls_back_to_gather():
+    """An odd crop margin (possible with odd-sized raw images) must not
+    crash the shear path — it statically falls back to the crop-fused
+    gather warp with identical key consumption."""
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.random((2, 21, 21, 1)).astype(np.float32))
+    spec_shear = AugmentSpec(crop_size=16, out_size=16, translation=0.05,
+                             augment=True, fast=True, shear=True)
+    spec_gather = AugmentSpec(crop_size=16, out_size=16, translation=0.05,
+                              augment=True, fast=True, shear=False)
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(augment_batch(imgs, key, spec_shear))
+    b = np.asarray(augment_batch(imgs, key, spec_gather))
+    np.testing.assert_array_equal(a, b)  # fallback = the gather path
