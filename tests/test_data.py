@@ -468,3 +468,14 @@ def test_shear_odd_margin_falls_back_to_gather():
     a = np.asarray(augment_batch(imgs, key, spec_shear))
     b = np.asarray(augment_batch(imgs, key, spec_gather))
     np.testing.assert_array_equal(a, b)  # fallback = the gather path
+
+
+def test_shear_canvas_is_tight_at_flagship_geometry():
+    """Perf regression guard: at the shipping pipeline geometries the
+    canvas must not exceed the padded frame (the old crop+max_t bound
+    made it ~1.5x the frame => ~2.1x the pixels per butterfly stage)."""
+    from neuron_gan_tpu.data.augment import _shear_geometry
+    for p, crop in [(768, 512), (384, 256)]:
+        canvas, m1, m2 = _shear_geometry(p, crop, 0.05 * p)
+        assert canvas == p, (p, canvas)
+        assert m2 < canvas // 2
