@@ -99,8 +99,7 @@ def packed_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
     uses the original fan_in (models.py:186-201 semantics).
     """
     w = params['w']
-    fan_in = w.shape[2] * 9
-    scale = calculate_gain('leaky_relu', neg_slope) / math.sqrt(fan_in)
+    scale = _eq_scale3x3(w, neg_slope)
     w_packed = pack_conv3x3_weight(w, scale)
     y = lax.conv_general_dilated(
         x_packed, w_packed.astype(x_packed.dtype), window_strides=(1, 1),
@@ -258,8 +257,15 @@ def fuse_up2_conv3x3_weight(w, scale=1.0):
     # W_f[dy,dx,i,(p,q,o)] = sum_{ty,tx} c[p,ty,dy] c[q,tx,dx] w[ty,tx,i,o]
     wf = jnp.einsum('ptd,qse,tsio->deipqo', c, c, w,
                     precision=lax.Precision.HIGHEST)  # exact tap composition
-    kh, kw, ci, co = w.shape
+    ci, co = w.shape[2], w.shape[3]
     return wf.reshape(3, 3, ci, 4 * co)
+
+
+def _eq_scale3x3(w, neg_slope):
+    """Equalized-LR runtime factor for a 3x3 conv kernel (gain/sqrt(Ci*9))
+    — the one expression every packed/fused conv in this file shares."""
+    assert w.ndim == 4 and w.shape[:2] == (3, 3), w.shape
+    return calculate_gain('leaky_relu', neg_slope) / math.sqrt(w.shape[2] * 9)
 
 
 def _conv_valid(x, w, precision):
@@ -280,8 +286,9 @@ def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
     """
     w = params['w']
     assert 'b' not in params, 'fused up2-conv supports bias-free blocks only'
-    fan_in = w.shape[2] * 9
-    scale = calculate_gain('leaky_relu', neg_slope) / math.sqrt(fan_in)
+    assert x.shape[1] == x.shape[2], \
+        f'fused up2-conv requires square input, got {x.shape}'
+    scale = _eq_scale3x3(w, neg_slope)
     w_s = w * jnp.asarray(scale, w.dtype)
 
     n = x.shape[1]
@@ -425,13 +432,13 @@ def pool2_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
     bit-equal) to the decomposed chain — tap-sum reorder only; use the
     decomposed ops for strict parity (mirrors up2_equalized_conv3x3)."""
     w = params['w']
-    fan_in = w.shape[2] * 9
-    scale = calculate_gain('leaky_relu', neg_slope) / math.sqrt(fan_in)
+    scale = _eq_scale3x3(w, neg_slope)
     wf = fuse_pool2_conv3x3_weight(w, scale)
-    xp = jnp.pad(x_packed, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # padding expressed on the conv itself (identical math for zero pad;
+    # no reliance on XLA folding an explicit pad into the conv)
     y = lax.conv_general_dilated(
-        xp, wf.astype(x_packed.dtype), window_strides=(2, 2),
-        padding=[(0, 0), (0, 0)],
+        x_packed, wf.astype(x_packed.dtype), window_strides=(2, 2),
+        padding=[(1, 1), (1, 1)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
     if 'b' in params:
         y = y + jnp.tile(params['b'], 4).astype(y.dtype)
@@ -446,8 +453,7 @@ def pool2_unpacked_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
     grid, so the group-mean folds into the kernel as a 0.25-weighted
     parity broadcast.  (B, m, m, 4Ci) -> (B, m, m, Co)."""
     w = params['w']
-    fan_in = w.shape[2] * 9
-    scale = calculate_gain('leaky_relu', neg_slope) / math.sqrt(fan_in)
+    scale = _eq_scale3x3(w, neg_slope)
     ci, co = w.shape[2], w.shape[3]
     wf = jnp.broadcast_to(
         (w * jnp.asarray(0.25 * scale, w.dtype))[:, :, None, None],
