@@ -15,8 +15,12 @@ cd "$(dirname "$0")/.."
 tool="$1"; base="$2"; log="$3"; shift 3
 for seed in "$@"; do
     echo "=== $tool seed $seed ===" >&2
-    python "tools/${tool}.py" --seed "$seed" \
-        --out "/tmp/${tool}_s${seed}" | tee -a "$log"
+    # a failed seed (e.g. a TPU-tunnel outage mid-run) must not abort the
+    # study: ab_aggregate drops incomplete seeds instead of mis-pairing
+    if ! python "tools/${tool}.py" --seed "$seed" \
+        --out "/tmp/${tool}_s${seed}" | tee -a "$log"; then
+        echo "=== seed $seed FAILED — continuing ===" >&2
+    fi
 done
 
 # arm tags: base is given; candidate is whichever other tag appears
