@@ -118,3 +118,20 @@ def test_gdrive_download_follows_large_file_interstitial(tmp_path):
 
     boot.gdrive_download('FILEID', dest, fetch=direct_fetch)
     assert len(calls) == 1 and open(dest, 'rb').read() == b'PK-direct'
+
+
+def test_make_samples_video_writes_avi(tmp_path):
+    """The video exporter (reference utils.py:669-772): sorts frames by
+    epoch, stamps timestamps, writes the .avi; without ffmpeg it degrades
+    gracefully to .avi-only (the mp4/gif conversion is skipped)."""
+    cv2 = pytest.importorskip('cv2')
+    from neuron_gan_tpu.utils.video import make_samples_video
+    rng = np.random.default_rng(0)
+    for epoch in (100, 300, 200):  # unsorted on purpose
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f'Samples_ab_{epoch}.png'), arr)
+    out = make_samples_video('timelapse.mp4', str(tmp_path),
+                             video_length=1, frame_rate=3)
+    assert out.endswith('.avi') or out.endswith('.mp4')
+    assert (tmp_path / os.path.basename(out)).exists()
+    assert (tmp_path / os.path.basename(out)).stat().st_size > 0
