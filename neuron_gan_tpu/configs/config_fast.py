@@ -17,8 +17,8 @@ two quality-A/B seeds — see BASELINE.md for the numbers):
 (``shear_warp=True`` is redundant here since its 6-seed promotion to the
 shipping default, but kept explicit for self-description.)
 
-Together: 19.3 G+D steps/s @512^2 (batch 8, incl. on-device augmentation)
-vs the quality default's 14.5.
+Together: 22.1 G+D steps/s @512^2 (batch 8, incl. on-device augmentation)
+vs the quality default's 15.9 (BASELINE.md, 2026-08-18).
 
     python train.py --configs config_fast
 """
