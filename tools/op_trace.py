@@ -49,7 +49,7 @@ def capture(phase, n_epochs, trace_dir):
     state = init_train_state(init_generator_pg(kg, cfg),
                              init_discriminator_pg(kd, cfg), make_optimizer())
     rng = np.random.default_rng(0)
-    del res  # padded stack is always at the dataset max (512 + 2*128)
+    # padded stack is always at the dataset max (512 + 2*128)
     images = jnp.asarray(rng.random((n_images, 768, 768, 1)).astype(np.float32))
     runner = make_epoch_runner(cfg, spec, n_epochs=n_epochs, donate=False)
     state, stats = runner(state, images, jax.random.PRNGKey(0), 1)  # compile
