@@ -27,7 +27,8 @@ TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
-              shear_warp=True, compute_dtype='float32', gp_reuse_fakes=False):
+              shear_warp=True, compute_dtype='float32', gp_reuse_fakes=False,
+              pallas_epilogue=None):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -50,7 +51,8 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
 
     # the shipping flagship configuration (shared with the profiling tools
     # so promoted defaults cannot drift out of the measurement stack)
-    cfg = flagship_config(compute_dtype=compute_dtype)
+    cfg = flagship_config(compute_dtype=compute_dtype,
+                          pallas_epilogue=pallas_epilogue)
     if phase is None:
         phase = cfg.n_phases - 1
     batch = 8
@@ -293,7 +295,9 @@ if __name__ == '__main__':
 
     # shear_warp is the shipping default since its 6-seed SWD promotion
     # (BASELINE.md); --no-shear measures the point-gather warp instead
-    value = bench_tpu(shear_warp='--no-shear' not in sys.argv)
+    value = bench_tpu(shear_warp='--no-shear' not in sys.argv,
+                      pallas_epilogue=(True if '--pallas-epilogue'
+                                       in sys.argv else None))
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
     print(json.dumps({

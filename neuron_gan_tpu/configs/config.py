@@ -95,6 +95,12 @@ matmul_precision = 'default' # jax matmul precision for convs:
                              # bf16 passes (~1e-6 error), 'highest' = true
                              # f32 (bit-parity with the torch reference)
 use_pallas = False           # Enable Pallas fused kernels where available
+pallas_epilogue = None       # Pallas fused LeakyReLU+grouped-PixelNorm
+                             # epilogue in PACKED blocks (GP-safe); None =
+                             # auto (BASELINE.md measurement), True/False
+                             # force.  Disabled automatically under a
+                             # multi-device mesh (opaque custom calls do
+                             # not partition under auto-SPMD).
 packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
                              # >= this resolution run 2x2-packed (exact
                              # transform, 2.4x step speedup at 512^2 — see

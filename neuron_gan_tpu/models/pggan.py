@@ -86,6 +86,12 @@ class PGConfig:
     # Use the Pallas fused LeakyReLU+PixelNorm kernel in unpacked blocks
     # (ops/pallas_kernels.py); off by default — XLA's fusion is competitive.
     use_pallas: bool = False
+    # Pallas fused LeakyReLU + grouped-PixelNorm epilogue for PACKED blocks:
+    # one HBM read/write per epilogue instead of the einsum chain's several
+    # full passes (ops/pallas_kernels.py; GP-safe — the kernel is
+    # second-order differentiable).  None = auto (resolved by
+    # ``packed_pallas_epilogue`` below); explicit True/False overrides.
+    pallas_epilogue: Optional[bool] = None
     # Fuse upsample + first block conv into one composed-kernel conv in the
     # packed generator path (ops/packed.py::up2_equalized_conv3x3): 4x fewer
     # MACs and no interleave chain, but float-reordered summation vs the
@@ -149,6 +155,16 @@ class PGConfig:
         if self.fuse_pool_conv is None:
             return self.precision is None
         return self.fuse_pool_conv
+
+    @property
+    def packed_pallas_epilogue(self) -> bool:
+        """Resolved pallas_epilogue gate.  Auto (None) currently resolves
+        to False — pending the hardware measurement vs the einsum
+        formulation (BASELINE.md); flip the auto rule here if it wins.
+        Explicit True uses interpret mode off-TPU (kernel unit tests)."""
+        if self.pallas_epilogue is not None:
+            return self.pallas_epilogue
+        return False
 
 
 # --------------------------------------------------------------------------
@@ -271,11 +287,20 @@ def _want_packed(cfg: PGConfig, res: int) -> bool:
 
 
 def _packed_lrelu_pn(x, cfg: PGConfig):
-    """LeakyReLU -> grouped PixelNorm in the packed domain.  The fast
-    precision path uses the einsum (MXU) formulation — no grouped-view
-    reshape, einsum adjoints; 'highest' keeps the reduce formulation whose
-    summation order bit-matches the unpacked pixel_norm (parity tests)."""
+    """LeakyReLU -> grouped PixelNorm in the packed domain.  With
+    cfg.pallas_epilogue the whole epilogue is one fused Pallas kernel (one
+    HBM read/write; second-order differentiable, so it is GP-safe in the
+    discriminator).  Otherwise the fast precision path uses the einsum
+    (MXU) formulation — no grouped-view reshape, einsum adjoints; 'highest'
+    keeps the reduce formulation whose summation order bit-matches the
+    unpacked pixel_norm (parity tests)."""
     from neuron_gan_tpu.ops import packed as pk
+    if cfg.packed_pallas_epilogue:
+        from neuron_gan_tpu.ops.pallas_kernels import (
+            packed_lrelu_pixel_norm_pallas)
+        interpret = jax.default_backend() != 'tpu'  # CPU tests interpret
+        return packed_lrelu_pixel_norm_pallas(x, cfg.neg_slope, 1e-8,
+                                              interpret)
     y = leaky_relu(x, cfg.neg_slope)
     if cfg.precision is None:
         return pk.packed_pixel_norm_mxu(y, f32_stats=cfg.mixed)

@@ -1,20 +1,42 @@
-"""Pallas TPU kernels: fused LeakyReLU + PixelNorm.
+"""Pallas TPU kernels: fused LeakyReLU + PixelNorm (plain and grouped).
 
 Every conv in the PGGAN blocks is followed by LeakyReLU then PixelNorm
-(reference models.py:259-268).  XLA usually fuses this elementwise+reduce
-chain into the conv epilogue; this hand-fused kernel guarantees a single
-HBM read/write for the pair (the op is bandwidth-bound) and carries a
-custom VJP so the backward pass is a single fused kernel too.
+(reference models.py:259-268).  In the space-to-depth packed layout
+(ops/packed.py) the normalization is *grouped*: each of the 4 spatial
+parities normalizes its own C original channels.  The einsum (MXU)
+formulation of that grouped norm (packed_pixel_norm_mxu) is exact and
+fast, but it costs several full HBM passes over the activation per
+epilogue: the stats dot_general reads it, the 4->4C broadcast dot_general
+materializes a second full-size tensor, and the normalize multiply reads
+both (the op trace in BASELINE.md prices the chain at ~14 ms of a 63 ms
+step).  This kernel does the whole epilogue — LeakyReLU, per-group
+mean-of-squares, rsqrt, normalize — in ONE read and ONE write of the
+activation; the backward pass is a single fused kernel too.
 
-Layout: the NHWC activation is viewed as (rows, C) with rows = B*H*W; the
-grid tiles rows, each block (TILE_R, C) resident in VMEM; the channel
-reduction runs on the VPU within the block.  Enabled via config.use_pallas
-(off by default — XLA's fusion is already competitive; flip it when the
-profiler shows the epilogue unfused).
+Layout: the NHWC activation is viewed as (rows, n_ch) with rows = B*H*W;
+the grid tiles rows, each block (TILE_R, n_ch) resident in VMEM; the
+per-group channel reductions run on the VPU within the block via static
+iota masks (groups are contiguous: packed channel order is parity-major,
+so group g owns channels [g*C, (g+1)*C)).  ``n_groups=1`` is the plain
+(unpacked) PixelNorm.
 
-Forward:  y = lrelu(x); out = y * rsqrt(mean(y^2, C) + eps)
-Backward: with r = rsqrt(m + eps), s = sum(g*y, C):
+Statistics are computed in float32 regardless of input dtype (the
+quality-safe half of the ``compute_dtype='mixed'`` recipe; the composed
+ops do the same via ``f32_stats``).
+
+Gradients: the kernel carries a custom VJP whose backward is itself a
+Pallas kernel, and that backward is *second-order differentiable* — its
+own VJP is supplied by autodiff of a pure-JAX mirror — so the WGAN-GP
+grad-of-grad (losses.py::d_grad_pen_loss) composes through it.  Third
+and higher orders are not defined (the GP needs exactly two).
+
+Forward:  y = lrelu(x); out[g] = y[g] * rsqrt(mean(y[g]^2, C_g) + eps)
+Backward: with r = rsqrt(m + eps), s = sum(g*y over the group):
           dy = g*r - y * r^3 * s / C;  dx = dy * (x >= 0 ? 1 : slope)
+
+Enabled for packed blocks via config.pallas_epilogue and for unpacked
+blocks via config.use_pallas (both off by default until the hardware
+measurement in BASELINE.md justifies flipping the auto gate).
 """
 
 import functools
@@ -27,22 +49,57 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_R = 512
 
 
-def _fwd_kernel(x_ref, o_ref, *, neg_slope, eps, n_ch):
-    x = x_ref[:]
-    y = jnp.where(x >= 0, x, x * neg_slope)
-    m = jnp.mean(jnp.square(y), axis=1, keepdims=True)
-    o_ref[:] = y * jax.lax.rsqrt(m + eps)
+def _group_stats(vals, grp, n_groups, reduce_to_mean, c):
+    """Per-group channel sums of ``vals`` (f32, (tile, n_ch)) broadcast back
+    over each group's channels.  ``grp`` = (1, n_ch) int group ids."""
+    out = jnp.zeros_like(vals)
+    for g in range(n_groups):
+        mask = grp == g
+        s = jnp.sum(jnp.where(mask, vals, 0.0), axis=1, keepdims=True)
+        if reduce_to_mean:
+            s = s / c
+        out = jnp.where(mask, s, out)
+    return out
 
 
-def _bwd_kernel(x_ref, g_ref, dx_ref, *, neg_slope, eps, n_ch):
+def _grouped_fwd_kernel(x_ref, o_ref, *, neg_slope, eps, n_ch, n_groups):
     x = x_ref[:]
-    g = g_ref[:]
+    y = jnp.where(x >= 0, x, x * neg_slope)  # in x.dtype, like the composed op
+    yf = y.astype(jnp.float32)
+    c = n_ch // n_groups
+    grp = jax.lax.broadcasted_iota(jnp.int32, (1, n_ch), 1) // c
+    m = _group_stats(yf * yf, grp, n_groups, True, c)
+    o_ref[:] = (yf * jax.lax.rsqrt(m + eps)).astype(o_ref.dtype)
+
+
+def _grouped_bwd_kernel(x_ref, g_ref, dx_ref, *, neg_slope, eps, n_ch,
+                        n_groups):
+    x = x_ref[:]
     y = jnp.where(x >= 0, x, x * neg_slope)
-    m = jnp.mean(jnp.square(y), axis=1, keepdims=True)
+    yf = y.astype(jnp.float32)
+    gf = g_ref[:].astype(jnp.float32)
+    c = n_ch // n_groups
+    grp = jax.lax.broadcasted_iota(jnp.int32, (1, n_ch), 1) // c
+    m = _group_stats(yf * yf, grp, n_groups, True, c)
+    s = _group_stats(gf * yf, grp, n_groups, False, c)
     r = jax.lax.rsqrt(m + eps)
-    s = jnp.sum(g * y, axis=1, keepdims=True)
-    dy = g * r - y * (r * r * r) * (s / n_ch)
-    dx_ref[:] = jnp.where(x >= 0, dy, dy * neg_slope)
+    dy = gf * r - yf * (r * r * r) * (s / c)
+    dx_ref[:] = jnp.where(x >= 0, dy, dy * neg_slope).astype(dx_ref.dtype)
+
+
+def _grouped_bwd_pure(x2d, g2d, n_groups, neg_slope, eps):
+    """Differentiable pure-JAX mirror of _grouped_bwd_kernel; autodiffed to
+    supply the backward's own VJP (the GP second-order path)."""
+    rows, n_ch = x2d.shape
+    c = n_ch // n_groups
+    y = jnp.where(x2d >= 0, x2d, x2d * neg_slope)
+    yf = y.astype(jnp.float32).reshape(rows, n_groups, c)
+    gf = g2d.astype(jnp.float32).reshape(rows, n_groups, c)
+    m = jnp.mean(yf * yf, axis=2, keepdims=True)
+    s = jnp.sum(gf * yf, axis=2, keepdims=True)
+    r = jax.lax.rsqrt(m + eps)
+    dy = (gf * r - yf * (r * r * r) * (s / c)).reshape(rows, n_ch)
+    return jnp.where(x2d >= 0, dy, dy * neg_slope).astype(x2d.dtype)
 
 
 def _rows_call(kernel, x2d, *more, interpret=False, **kw):
@@ -63,27 +120,70 @@ def _rows_call(kernel, x2d, *more, interpret=False, **kw):
     )(x2d, *more)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def lrelu_pixel_norm_pallas(x, neg_slope=0.2, eps=1e-8, interpret=False):
-    """Fused LeakyReLU+PixelNorm on NHWC (channels last)."""
+# --- backward pallas call, wrapped so IT has a VJP (GP grad-of-grad) -------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _bwd_call(x2d, g2d, n_groups, neg_slope, eps, interpret):
+    return _rows_call(_grouped_bwd_kernel, x2d, g2d, n_groups=n_groups,
+                      neg_slope=neg_slope, eps=eps, interpret=interpret)
+
+
+def _bwd_call_fwd(x2d, g2d, n_groups, neg_slope, eps, interpret):
+    return _bwd_call(x2d, g2d, n_groups, neg_slope, eps, interpret), (x2d, g2d)
+
+
+def _bwd_call_bwd(n_groups, neg_slope, eps, interpret, res, ct):
+    x2d, g2d = res
+    _, vjp = jax.vjp(
+        lambda a, b: _grouped_bwd_pure(a, b, n_groups, neg_slope, eps),
+        x2d, g2d)
+    return vjp(ct)
+
+
+_bwd_call.defvjp(_bwd_call_fwd, _bwd_call_bwd)
+
+
+# --- public fused epilogue ---------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def grouped_lrelu_pixel_norm_pallas(x, n_groups=1, neg_slope=0.2, eps=1e-8,
+                                    interpret=False):
+    """Fused LeakyReLU + grouped PixelNorm on NHWC (channels last).
+
+    ``n_groups=1`` = plain PixelNorm over all channels; ``n_groups=4`` =
+    the packed-parity grouped norm (packed_pixel_norm semantics).  Stats
+    in float32; output in ``x.dtype``.  First- and second-order
+    differentiable (see module docstring)."""
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
-    out = _rows_call(_fwd_kernel, x2d, neg_slope=neg_slope, eps=eps,
-                     interpret=interpret)
+    out = _rows_call(_grouped_fwd_kernel, x2d, n_groups=n_groups,
+                     neg_slope=neg_slope, eps=eps, interpret=interpret)
     return out.reshape(shape)
 
 
-def _fwd_rule(x, neg_slope, eps, interpret):
-    return lrelu_pixel_norm_pallas(x, neg_slope, eps, interpret), x
+def _fwd_rule(x, n_groups, neg_slope, eps, interpret):
+    return grouped_lrelu_pixel_norm_pallas(
+        x, n_groups, neg_slope, eps, interpret), x
 
 
-def _bwd_rule(neg_slope, eps, interpret, x, g):
+def _bwd_rule(n_groups, neg_slope, eps, interpret, x, g):
     shape = x.shape
-    x2d = x.reshape(-1, shape[-1])
-    g2d = g.reshape(-1, shape[-1])
-    dx = _rows_call(_bwd_kernel, x2d, g2d, neg_slope=neg_slope, eps=eps,
-                    interpret=interpret)
+    dx = _bwd_call(x.reshape(-1, shape[-1]), g.reshape(-1, shape[-1]),
+                   n_groups, neg_slope, eps, interpret)
     return (dx.reshape(shape),)
 
 
-lrelu_pixel_norm_pallas.defvjp(_fwd_rule, _bwd_rule)
+grouped_lrelu_pixel_norm_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+def lrelu_pixel_norm_pallas(x, neg_slope=0.2, eps=1e-8, interpret=False):
+    """Fused LeakyReLU + PixelNorm on NHWC (channels last)."""
+    return grouped_lrelu_pixel_norm_pallas(x, 1, neg_slope, eps, interpret)
+
+
+def packed_lrelu_pixel_norm_pallas(x_packed, neg_slope=0.2, eps=1e-8,
+                                   interpret=False):
+    """Fused LeakyReLU + parity-grouped PixelNorm for the packed layout
+    ((..., 4C) channels, parity-major — ops/packed.py)."""
+    return grouped_lrelu_pixel_norm_pallas(x_packed, 4, neg_slope, eps,
+                                           interpret)

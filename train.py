@@ -177,6 +177,10 @@ model_cfg = PGConfig(
     precision=(None if config.matmul_precision == 'default'
                else config.matmul_precision),
     packed_min_res=config.packed_min_res,
+    use_pallas=config.use_pallas,
+    # opaque custom calls do not partition under auto-SPMD: keep the einsum
+    # epilogue whenever a multi-device mesh is active
+    pallas_epilogue=(False if mesh is not None else config.pallas_epilogue),
 )
 
 key = jax.random.PRNGKey(config.seed)
