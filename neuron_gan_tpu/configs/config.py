@@ -84,8 +84,14 @@ N_dis_features = [16, 16, 32, 32, 64, 128]
 
 # TPU execution (new; no reference counterpart)
 mesh_shape = None            # e.g. {'data': 8} or {'data': 4, 'model': 2}; None = single chip
-compute_dtype = 'float32'    # 'float32', 'bfloat16', or 'mixed' (bf16 activations,
-                             # f32 stem/norm-stats/images/critic-head) model compute
+compute_dtype = 'mixed'      # 'float32', 'bfloat16', or 'mixed' (bf16 activations,
+                             # f32 stem/norm-stats/images/critic-head) model
+                             # compute.  'mixed' promoted to default by a
+                             # 6-seed 16->128 growth SWD A/B (mean paired
+                             # diff -0.016 vs f32 seed spread 0.082, 4/6
+                             # seeds better — BASELINE.md); +23% steps/s at
+                             # 512^2.  'float32' restores reference-parity
+                             # activations with one knob.
 matmul_precision = 'default' # jax matmul precision for convs:
                              # 'default' = one bf16 pass per conv with f32
                              # accumulation (fastest; promoted after a
@@ -97,8 +103,10 @@ matmul_precision = 'default' # jax matmul precision for convs:
 use_pallas = False           # Enable Pallas fused kernels where available
 pallas_epilogue = None       # Pallas fused LeakyReLU+grouped-PixelNorm
                              # epilogue in PACKED blocks (GP-safe); None =
-                             # auto (BASELINE.md measurement), True/False
-                             # force.  Disabled automatically under a
+                             # auto, which resolves to OFF (measured slower
+                             # than the einsum epilogue on hardware —
+                             # BASELINE.md "Pallas fused epilogue");
+                             # True/False force.  Disabled automatically under a
                              # multi-device mesh (opaque custom calls do
                              # not partition under auto-SPMD).
 packed_min_res = 64          # Space-to-depth packed conv threshold: layers at

@@ -22,8 +22,9 @@ def flagship_config(**overrides):
         n_gen_features=(128, 64, 32, 32, 16, 16),
         n_dis_features=(16, 16, 32, 32, 64, 128),
         latent_dim=64, image_size_init=16, n_colors=1,
-        packed_min_res=64,  # exact space-to-depth packed layout
-        precision=None,     # = config.matmul_precision 'default'
+        packed_min_res=64,      # exact space-to-depth packed layout
+        precision=None,         # = config.matmul_precision 'default'
+        compute_dtype='mixed',  # 6-seed SWD promotion (BASELINE.md)
     )
     kw.update(overrides)
     return PGConfig(**kw)

@@ -158,10 +158,12 @@ class PGConfig:
 
     @property
     def packed_pallas_epilogue(self) -> bool:
-        """Resolved pallas_epilogue gate.  Auto (None) currently resolves
-        to False — pending the hardware measurement vs the einsum
-        formulation (BASELINE.md); flip the auto rule here if it wins.
-        Explicit True uses interpret mode off-TPU (kernel unit tests)."""
+        """Resolved pallas_epilogue gate.  Auto (None) resolves to False:
+        measured slower than the einsum formulation at the flagship 512^2
+        config (f32 12.28 vs 15.88 steps/s, mixed 16.15 vs 19.60 — the
+        opaque custom call blocks XLA's epilogue-into-conv fusion; see
+        BASELINE.md "Pallas fused epilogue").  Explicit True uses
+        interpret mode off-TPU (kernel unit tests)."""
         if self.pallas_epilogue is not None:
             return self.pallas_epilogue
         return False

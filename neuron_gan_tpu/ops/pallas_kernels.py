@@ -63,9 +63,12 @@ def _group_stats(vals, grp, n_groups, reduce_to_mean, c):
 
 
 def _grouped_fwd_kernel(x_ref, o_ref, *, neg_slope, eps, n_ch, n_groups):
-    x = x_ref[:]
-    y = jnp.where(x >= 0, x, x * neg_slope)  # in x.dtype, like the composed op
-    yf = y.astype(jnp.float32)
+    # All arithmetic in f32: Mosaic rejects bf16 vector compares, and the
+    # >= 0 predicate is exact in either dtype (only the lrelu multiply's
+    # rounding differs from the composed bf16 op — ~1 bf16 ulp on negative
+    # values, far inside the promoted mixed recipe's noise bar).
+    xf = x_ref[:].astype(jnp.float32)
+    yf = jnp.where(xf >= 0, xf, xf * neg_slope)
     c = n_ch // n_groups
     grp = jax.lax.broadcasted_iota(jnp.int32, (1, n_ch), 1) // c
     m = _group_stats(yf * yf, grp, n_groups, True, c)
@@ -74,9 +77,8 @@ def _grouped_fwd_kernel(x_ref, o_ref, *, neg_slope, eps, n_ch, n_groups):
 
 def _grouped_bwd_kernel(x_ref, g_ref, dx_ref, *, neg_slope, eps, n_ch,
                         n_groups):
-    x = x_ref[:]
-    y = jnp.where(x >= 0, x, x * neg_slope)
-    yf = y.astype(jnp.float32)
+    xf = x_ref[:].astype(jnp.float32)  # f32 arithmetic: see _grouped_fwd_kernel
+    yf = jnp.where(xf >= 0, xf, xf * neg_slope)
     gf = g_ref[:].astype(jnp.float32)
     c = n_ch // n_groups
     grp = jax.lax.broadcasted_iota(jnp.int32, (1, n_ch), 1) // c
@@ -84,7 +86,7 @@ def _grouped_bwd_kernel(x_ref, g_ref, dx_ref, *, neg_slope, eps, n_ch,
     s = _group_stats(gf * yf, grp, n_groups, False, c)
     r = jax.lax.rsqrt(m + eps)
     dy = gf * r - yf * (r * r * r) * (s / c)
-    dx_ref[:] = jnp.where(x >= 0, dy, dy * neg_slope).astype(dx_ref.dtype)
+    dx_ref[:] = jnp.where(xf >= 0, dy, dy * neg_slope).astype(dx_ref.dtype)
 
 
 def _grouped_bwd_pure(x2d, g2d, n_groups, neg_slope, eps):
