@@ -3,22 +3,21 @@ speed knob (BASELINE.md).
 
 The shipping defaults already include all speedups that passed the SWD
 quality bar (packed layout, matmul_precision='default', fused fast
-augmentation, fused boundary convs, shear warp — see BASELINE.md for the
-promotion studies).  This preset additionally enables the two measured
-levers that may trade some sample quality for speed (each lost one of its
-two quality-A/B seeds — see BASELINE.md for the numbers):
+augmentation, fused boundary convs, shear warp, mixed bf16 compute — see
+BASELINE.md for the promotion studies).  This preset additionally enables
+the one measured lever that may trade some sample quality for speed (it
+lost one of its two quality-A/B seeds — see BASELINE.md for the numbers):
 
-* ``compute_dtype='mixed'``  — bfloat16 activations through the conv blocks,
-  float32 stem / PixelNorm statistics / image / critic head: +25%.
 * ``gp_reuse_fakes=True``    — gradient-penalty interpolates reuse the
   critic-loss fake batch (the original WGAN-GP formulation; the reference
   draws fresh latents per loss): +13%.
 
-(``shear_warp=True`` is redundant here since its 6-seed promotion to the
-shipping default, but kept explicit for self-description.)
+(``shear_warp=True`` and ``compute_dtype='mixed'`` are redundant here
+since their 6-seed promotions to the shipping defaults, but kept explicit
+for self-description.)
 
 Together: 22.1 G+D steps/s @512^2 (batch 8, incl. on-device augmentation)
-vs the quality default's 15.9 (BASELINE.md, 2026-08-18).
+vs the quality default's 19.6 (BASELINE.md, 2026-08-18).
 
     python train.py --configs config_fast
 """

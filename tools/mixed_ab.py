@@ -25,7 +25,7 @@ from precision_ab import make_quality_ab_parser, run_quality_ab  # noqa: E402
 def main():
     args = make_quality_ab_parser('/tmp/mixed_ab').parse_args()
     run_quality_ab(args,
-                   arms=[('f32', {}),
+                   arms=[('f32', {'compute_dtype': 'float32'}),
                          ('mixed', {'compute_dtype': 'mixed'})],
                    verdict_ok='mixed_ok', verdict_worse='mixed_worse')
 
