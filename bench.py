@@ -27,7 +27,7 @@ TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
-              shear_warp=True, compute_dtype='mixed', gp_reuse_fakes=False,
+              shear_warp=True, compute_dtype='mixed', gp_reuse_fakes=True,
               pallas_epilogue=None):
     """Train-step throughput at one growth phase (default: top, 512x512).
 

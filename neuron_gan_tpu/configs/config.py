@@ -141,12 +141,18 @@ shear_warp = True            # Replace the augmentation's point-gather
                              # observed range (BASELINE.md "Shear SWD
                              # quality A/B"; tools/ab_aggregate.py).  Set
                              # False for the torchvision-exact warp.
-gp_reuse_fakes = False       # Reuse the critic-loss fake batch for the
+gp_reuse_fakes = True        # Reuse the critic-loss fake batch for the
                              # gradient-penalty interpolates (the original
-                             # WGAN-GP formulation) instead of the
-                             # reference's fresh draw per loss
-                             # (loss_functions.py:166); saves one generator
-                             # forward per critic step (~12% at 512^2).
+                             # WGAN-GP formulation, Gulrajani et al. 2017)
+                             # instead of the reference's fresh draw per
+                             # loss (loss_functions.py:166); saves one
+                             # generator forward per critic step (~12% at
+                             # 512^2).  Promoted to default by a 6-seed
+                             # SWD A/B (mean paired diff +0.009 vs the
+                             # fresh arm's own 0.118 seed spread, 3/3
+                             # split, none catastrophic — BASELINE.md).
+                             # Set False for the reference's fresh-latent
+                             # GP draws.
 ema_beta = 0.0               # EMA decay for a shadow generator (0 disables; stretch goal)
 donate_state = True          # Donate train-state buffers to jit (in-place update on device)
 profile_dir = ''             # If set, capture a jax.profiler trace of one

@@ -1,23 +1,24 @@
-"""Maximum-throughput training preset: config_ex plus every measured opt-in
-speed knob (BASELINE.md).
+"""Maximum-throughput training preset: config_ex plus every measured
+speed knob pinned explicitly (BASELINE.md).
 
-The shipping defaults already include all speedups that passed the SWD
-quality bar (packed layout, matmul_precision='default', fused fast
-augmentation, fused boundary convs, shear warp, mixed bf16 compute — see
-BASELINE.md for the promotion studies).  This preset additionally enables
-the one measured lever that may trade some sample quality for speed (it
-lost one of its two quality-A/B seeds — see BASELINE.md for the numbers):
+As of the round-2 6-seed SWD promotion studies, every knob this preset
+sets is ALSO the shipping default (packed layout,
+matmul_precision='default', fused fast augmentation, fused boundary
+convs, shear warp, mixed bf16 compute, GP-fake reuse) — the preset is
+kept as an explicit, self-describing pin of the fast path that stays
+fast even if a future study demotes a default, and as the documented
+home of the speed/quality knob set.
 
+* ``compute_dtype='mixed'``  — bfloat16 activations through the conv
+  blocks, f32 stem/PixelNorm-stats/image/critic-head: +23%.
 * ``gp_reuse_fakes=True``    — gradient-penalty interpolates reuse the
   critic-loss fake batch (the original WGAN-GP formulation; the reference
   draws fresh latents per loss): +13%.
+* ``shear_warp=True``        — 3-pass butterfly shear rotation instead of
+  the torchvision-exact point-gather warp.
 
-(``shear_warp=True`` and ``compute_dtype='mixed'`` are redundant here
-since their 6-seed promotions to the shipping defaults, but kept explicit
-for self-description.)
-
-Together: 22.1 G+D steps/s @512^2 (batch 8, incl. on-device augmentation)
-vs the quality default's 19.6 (BASELINE.md, 2026-08-18).
+22.1 G+D steps/s @512^2 (batch 8, incl. on-device augmentation) vs the
+torch reference's 0.0127 (BASELINE.md, 2026-08-18).
 
     python train.py --configs config_fast
 """

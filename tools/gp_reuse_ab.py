@@ -6,8 +6,9 @@ formulation, Gulrajani et al. 2017, which penalizes the same fake
 minibatch).
 
 Reuse lets XLA CSE the duplicated generator forward out of the critic step
-(+13% at 512^2 — BASELINE.md).  Result (recorded there): split the seeds
--> stays opt-in.
+(+13% at 512^2 — BASELINE.md).  Result (recorded there): the initial
+2-seed run split; the 6-seed rerun promoted it to the shipping default
+(mean paired diff inside the fresh arm's own seed spread).
 
     python tools/gp_reuse_ab.py [--epochs 2500] [--seed 1] [--out /tmp/gp_reuse_ab]
 """
@@ -24,7 +25,7 @@ from precision_ab import make_quality_ab_parser, run_quality_ab  # noqa: E402
 def main():
     args = make_quality_ab_parser('/tmp/gp_reuse_ab').parse_args()
     run_quality_ab(args,
-                   arms=[('fresh', {}),
+                   arms=[('fresh', {'gp_reuse_fakes': False}),
                          ('reuse', {'gp_reuse_fakes': True})],
                    verdict_ok='reuse_ok', verdict_worse='reuse_worse')
 

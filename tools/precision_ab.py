@@ -200,10 +200,10 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
 
     results = {}
     for tag, kw in arms:
-        # shipping defaults (fast_augment + shear_warp + mixed compute,
-        # all SWD-promoted); arms may override
+        # shipping defaults (fast_augment + shear_warp + mixed compute +
+        # GP-fake reuse, all SWD-promoted); arms may override
         kw = {'fast_augment': True, 'shear_warp': True,
-              'compute_dtype': 'mixed', **kw}
+              'compute_dtype': 'mixed', 'gp_reuse_fakes': True, **kw}
         fake, train_s = run_arm('default', dataset, args, args.out,
                                 tag=tag, **kw)
         lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
