@@ -137,15 +137,34 @@ def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False):
     broadcast back via its transpose (4 -> 4C).
 
     Same math as ``packed_pixel_norm`` with a dot-product summation order;
-    both einsums run at HIGHEST precision so the normalization statistics
-    stay effectively float32 (the 'mixed' recipe deliberately keeps
-    PixelNorm stats full-precision — BASELINE.md), and the adjoint of an
-    einsum-against-a-constant is an einsum (cheap under the GP
-    double-backward; the ``jnp.take``-style gather adjoints are not).
-    Used on the fast-precision path; ``precision='highest'`` keeps the
-    reduce formulation whose summation order bit-matches the unpacked
-    ``pixel_norm``."""
+    the normalization statistics ACCUMULATE in float32 in every mode (the
+    'mixed' recipe deliberately keeps PixelNorm stats full-precision —
+    BASELINE.md), and the adjoint of an einsum-against-a-constant is an
+    einsum (cheap under the GP double-backward; the ``jnp.take``-style
+    gather adjoints are not).  Used on the fast-precision path;
+    ``precision='highest'`` keeps the reduce formulation whose summation
+    order bit-matches the unpacked ``pixel_norm``.
+
+    For bfloat16 inputs the einsums feed the MXU bf16 operands directly
+    with ``preferred_element_type=float32`` (the MXU multiplies bf16
+    pairs exactly and accumulates in f32), instead of materializing a
+    full-size float32 copy of the activation on both sides of the stats
+    — ~3x less HBM traffic per epilogue.  vs the materialized-f32 form
+    this rounds three scalars once each (x^2, the rsqrt scale, the final
+    multiply), a <=2-bf16-ulp output perturbation with NO change to the
+    f32 accumulation of the statistics — the same deviation class as the
+    accepted Pallas epilogue kernel (ops/pallas_kernels.py), far inside
+    the promoted mixed recipe's noise bar."""
     c4 = x_packed.shape[-1]
+    if f32_stats and x_packed.dtype == jnp.bfloat16:
+        gb = jnp.asarray(_group_mat(c4), jnp.bfloat16)  # 0/1: exact in bf16
+        m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(x_packed), gb,
+                        preferred_element_type=jnp.float32) * (4.0 / c4)
+        r = lax.rsqrt(m4 + eps).astype(jnp.bfloat16)  # f32 stats; one round
+        # 0/1 broadcast-back: each output sums exactly one r term — exact
+        scale = jnp.einsum('bhwg,kg->bhwk', r, gb,
+                           preferred_element_type=jnp.bfloat16)
+        return x_packed * scale
     xf = (x_packed.astype(jnp.float32)
           if f32_stats and x_packed.dtype != jnp.float32 else x_packed)
     g = jnp.asarray(_group_mat(c4), jnp.float32)
@@ -196,6 +215,15 @@ def packed_avg_pool2_mxu(x_packed):
     c = c4 // 4
     m = np.zeros((c4, c), np.float32)
     m[np.arange(c4), np.arange(c4) % c] = 0.25
+    if x_packed.dtype == jnp.bfloat16:
+        # MXU-native: bf16 operands (0.25·x products are exact — exponent
+        # shift), f32 accumulation, one final round — avoids promoting the
+        # whole activation to a materialized f32 copy (same rationale as
+        # packed_pixel_norm_mxu's bf16 path)
+        return jnp.einsum('bhwk,ki->bhwi', x_packed,
+                          jnp.asarray(m, jnp.bfloat16),
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
     return jnp.einsum('bhwk,ki->bhwi', x_packed, jnp.asarray(m, jnp.float32),
                       precision=lax.Precision.HIGHEST).astype(x_packed.dtype)
 
