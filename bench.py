@@ -28,7 +28,7 @@ TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
               shear_warp=True, compute_dtype='mixed', gp_reuse_fakes=True,
-              pallas_epilogue=None):
+              pallas_epilogue=None, unroll=1):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -75,7 +75,8 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
     # One jitted call scans n_epochs_chunk epochs — per-dispatch overhead is
     # amortized exactly as in training.  np.asarray forces a true host sync
     # (block_until_ready alone returns early through the axon relay).
-    runner = make_epoch_runner(cfg, spec, n_epochs=n_epochs_chunk, donate=False)
+    runner = make_epoch_runner(cfg, spec, n_epochs=n_epochs_chunk, donate=False,
+                               unroll=unroll)
 
     state, stats = runner(state, images, jax.random.PRNGKey(0), 1)  # compile
     np.asarray(stats)
@@ -295,9 +296,12 @@ if __name__ == '__main__':
 
     # shear_warp is the shipping default since its 6-seed SWD promotion
     # (BASELINE.md); --no-shear measures the point-gather warp instead
+    unroll = (int(sys.argv[sys.argv.index('--unroll') + 1])
+              if '--unroll' in sys.argv else 1)
     value = bench_tpu(shear_warp='--no-shear' not in sys.argv,
                       pallas_epilogue=(True if '--pallas-epilogue'
-                                       in sys.argv else None))
+                                       in sys.argv else None),
+                      unroll=unroll)
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
     print(json.dumps({

@@ -246,3 +246,22 @@ def test_epoch_runner_fast_augment(images_stack):
     w0 = np.asarray(state['g_params']['stem']['conv']['w'])
     w1 = np.asarray(new_state['g_params']['stem']['conv']['w'])
     assert not np.allclose(w0, w1)
+
+
+def test_unrolled_batch_scan_matches_rolled(images_stack):
+    """unroll=2 on the per-epoch batch scan is a control-flow/fusion change
+    only: same ops, same order of updates.  XLA may reassociate across the
+    unrolled iterations (measured ~6e-8 on CPU), so the contract is
+    float-equivalence at reorder noise, not bit-identity — which is why the
+    knob defaults to 1 everywhere the parity path matters."""
+    spec = make_spec()
+    rolled = make_epoch_runner(CFG, spec, n_epochs=2, donate=False)
+    unrolled = make_epoch_runner(CFG, spec, n_epochs=2, donate=False, unroll=2)
+    s_r, st_r = rolled(make_state(), images_stack, jax.random.PRNGKey(5), 1)
+    s_u, st_u = unrolled(make_state(), images_stack, jax.random.PRNGKey(5), 1)
+    np.testing.assert_allclose(np.asarray(st_r), np.asarray(st_u),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        s_r, s_u)
