@@ -243,6 +243,12 @@ def bench_all_phases(fast_augment=True):
 
 
 if __name__ == '__main__':
+    if '--unroll' in sys.argv and any(
+            f in sys.argv for f in ('--measure-torch', '--all-phases',
+                                    '--phase', '--eval', '--metric=eval',
+                                    '--preset')):
+        print('warning: --unroll only applies to the default headline '
+              'measurement and is ignored by this branch', file=sys.stderr)
     if '--measure-torch' in sys.argv:
         if '--phase' in sys.argv:
             phase = int(sys.argv[sys.argv.index('--phase') + 1])
@@ -296,17 +302,32 @@ if __name__ == '__main__':
 
     # shear_warp is the shipping default since its 6-seed SWD promotion
     # (BASELINE.md); --no-shear measures the point-gather warp instead
-    unroll = (int(sys.argv[sys.argv.index('--unroll') + 1])
-              if '--unroll' in sys.argv else 1)
+    unroll = 1
+    if '--unroll' in sys.argv:
+        i = sys.argv.index('--unroll')
+        if i + 1 >= len(sys.argv):
+            sys.exit('--unroll requires an integer value (batch-scan unroll '
+                     'factor), e.g. --unroll 2')
+        try:
+            unroll = int(sys.argv[i + 1])
+        except ValueError:
+            sys.exit(f'--unroll expects an integer, got {sys.argv[i + 1]!r}')
+        if unroll < 1:
+            sys.exit('--unroll must be >= 1')
     value = bench_tpu(shear_warp='--no-shear' not in sys.argv,
                       pallas_epilogue=(True if '--pallas-epilogue'
                                        in sys.argv else None),
                       unroll=unroll)
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
-    print(json.dumps({
+    record = {
         'metric': 'wgan_gp_train_steps_per_sec_512',
         'value': round(value, 3),
         'unit': 'steps/sec (G+D, batch 8, 512x512, incl. on-device aug)',
         'vs_baseline': round(vs, 2) if vs else None,
-    }))
+    }
+    # non-default unroll must be distinguishable from a baseline measurement
+    if unroll != 1:
+        record['metric'] += f'_unroll{unroll}'
+        record['unroll'] = unroll
+    print(json.dumps(record))

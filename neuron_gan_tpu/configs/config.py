@@ -153,6 +153,16 @@ gp_reuse_fakes = True        # Reuse the critic-loss fake batch for the
                              # split, none catastrophic — BASELINE.md).
                              # Set False for the reference's fresh-latent
                              # GP draws.
+hbm_budget_mb = 4096         # Device-memory budget for the raw image stack.
+                             # Stacks above this stream from the host per
+                             # epoch (double-buffered groups, bit-identical
+                             # schedule/keys — neuron_gan_tpu/streaming.py)
+                             # instead of living HBM-resident; lets datasets
+                             # larger than device memory train, like the
+                             # reference's per-item disk loading
+                             # (NeuronDataset.py:128-146) but overlapped
+                             # with compute.  0 disables streaming (always
+                             # resident).
 ema_beta = 0.0               # EMA decay for a shadow generator (0 disables; stretch goal)
 donate_state = True          # Donate train-state buffers to jit (in-place update on device)
 profile_dir = ''             # If set, capture a jax.profiler trace of one
@@ -253,6 +263,7 @@ def validate_configs(interactive=True):
     assert image_size == 2 ** image_size_log, 'Image size must be a power of 2.'
     assert ID != '', 'The training ID is undefined.'
     assert compute_dtype in ('float32', 'bfloat16', 'mixed'), f'compute_dtype:{compute_dtype} is not supported.'
+    assert hbm_budget_mb >= 0, 'hbm_budget_mb must be >= 0 (0 disables streaming).'
 
     if pggan:
         global transit_sch, transit_period

@@ -182,23 +182,37 @@ def _traced_lr(spec: ChunkSpec, epoch):
     return jnp.where(e_since < 0, jnp.float32(prev), lr)
 
 
-@functools.lru_cache(maxsize=None)
-def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
-                      donate: bool = True, unroll: int = 1):
-    """Build the jitted chunk runner for (cfg, spec, n_epochs).
+def epoch_scalars(spec: ChunkSpec, epoch):
+    """The traced per-epoch scalars (alpha, lr, sim_lambda) — shared between
+    the in-graph epoch scan and the host-driven streaming runner
+    (streaming.py) so both paths compute bit-identical schedules."""
+    lr = _traced_lr(spec, epoch)
+    if spec.fading:
+        alpha = jnp.clip((epoch - spec.alpha_start) * spec.alpha_step,
+                         0.0, 1.0).astype(jnp.float32)
+    else:
+        alpha = jnp.float32(1.0)
+    if spec.sim_lambda0 > 0 and spec.sim_decay > 0:
+        lam = spec.sim_lambda0 * jnp.power(
+            1.0 - spec.sim_decay,
+            (jnp.asarray(epoch) - 1).astype(jnp.float32))
+        lam = jnp.where(lam > 1e-5, lam, 0.0)
+    else:
+        lam = jnp.float32(spec.sim_lambda0)
+    return alpha, lr, lam
 
-    ``unroll`` unrolls the per-epoch batch scan (lax.scan ``unroll=``) —
-    float-identical math, pure control-flow/fusion change.  At the flagship
-    geometry (2 batches/epoch) the op trace attributes ~3 ms/step (~7%) to
-    ``while`` bookkeeping + IDLE gaps, which unrolling targets.
-    """
+
+def make_batch_step(cfg: PGConfig, spec: ChunkSpec):
+    """Build ``batch_body(state, (raw_batch, k_batch), alpha, lr, sim_lam)``
+    — one full G+D update on one raw (unaugmented) batch.  Shared between
+    make_epoch_runner's in-graph epoch scan and the streaming group runner
+    (streaming.py), so the two paths are the same compiled math."""
     out_size = cfg.resolution(spec.phase)
     aug_spec = AugmentSpec(crop_size=spec.crop_size, out_size=out_size,
                            translation=spec.translation, augment=spec.augment,
                            fast=spec.fast_augment,
                            shear=spec.shear_warp and spec.fast_augment)
     opt = make_optimizer(spec.beta1, spec.rmsprop)
-    B = spec.batch_size
 
     def g_apply_with(alpha):
         a = alpha if spec.fading else None
@@ -286,20 +300,26 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         stats = jnp.stack([sr, sf, d_loss_val, g_loss_val, gp, g_sim]) * b
         return new_state, stats
 
+    return batch_body
+
+
+@functools.lru_cache(maxsize=None)
+def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
+                      donate: bool = True, unroll: int = 1):
+    """Build the jitted chunk runner for (cfg, spec, n_epochs).
+
+    ``unroll`` unrolls the per-epoch batch scan (lax.scan ``unroll=``) —
+    float-equivalent up to XLA reassociation noise across unrolled
+    iterations (~1e-7; see tests/test_train_step.py), so keep unroll=1 on
+    parity-sensitive paths.  At the flagship geometry (2 batches/epoch) the
+    op trace attributes ~3 ms/step (~7%) to ``while`` bookkeeping + IDLE
+    gaps, which unrolling targets.
+    """
+    batch_body = make_batch_step(cfg, spec)
+
     def epoch_body(state, epoch, key, images_stack):
         k_epoch = jax.random.fold_in(key, epoch)
-        lr = _traced_lr(spec, epoch)
-        if spec.fading:
-            alpha = jnp.clip((epoch - spec.alpha_start) * spec.alpha_step,
-                             0.0, 1.0).astype(jnp.float32)
-        else:
-            alpha = jnp.float32(1.0)
-        if spec.sim_lambda0 > 0 and spec.sim_decay > 0:
-            lam = spec.sim_lambda0 * jnp.power(1.0 - spec.sim_decay,
-                                               (epoch - 1).astype(jnp.float32))
-            lam = jnp.where(lam > 1e-5, lam, 0.0)
-        else:
-            lam = jnp.float32(spec.sim_lambda0)
+        alpha, lr, lam = epoch_scalars(spec, epoch)
 
         if spec.shuffle:
             perm = jax.random.permutation(jax.random.fold_in(k_epoch, 7),
@@ -318,7 +338,7 @@ def make_epoch_runner(cfg: PGConfig, spec: ChunkSpec, n_epochs: int,
         state, stats = jax.lax.scan(
             lambda s, inp: batch_body(s, inp, alpha, lr, lam),
             state, (batches, batch_keys[:n_full]),
-            unroll=min(unroll, n_full))
+            unroll=max(1, min(unroll, n_full)))
         stats_total = jnp.sum(stats, axis=0)
         if rem:
             # final partial batch (its own static shape; one extra executable

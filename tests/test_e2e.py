@@ -74,6 +74,12 @@ def test_train_eval_cli_roundtrip(tmp_path, monkeypatch, tiny_dataset_dir,
     assert meta['epoch'] == 6
     assert meta['image_size'] == 8  # transition at 5 grew 4 -> 8
     assert meta['alpha'] == pytest.approx(0.25)  # epoch 6 = (6-5)*0.25
+    # meta records the lr in effect at the checkpointed epoch (reference
+    # utils.py:166 saves the current decayed lr), not the initial lr
+    from neuron_gan_tpu.schedule import TrainSchedule
+    sched = TrainSchedule(transit_sch=(5, 10), alpha_step=0.25, n_epochs=12,
+                          checkpointing_period=6, lr0=1e-3)
+    assert meta['lr'] == pytest.approx(sched.lr_at(6))
 
     # --- session 2: resume through growth to epoch 12 (phase 2 at 10)
     cfg2 = tmp_path / 'cfg_resume.py'
@@ -83,6 +89,7 @@ def test_train_eval_cli_roundtrip(tmp_path, monkeypatch, tiny_dataset_dir,
     assert meta['epoch'] == 12
     assert meta['image_size'] == 16
     assert meta['alpha'] == pytest.approx(0.5)  # epoch 12 = (12-10)*0.25
+    assert meta['lr'] == pytest.approx(sched.lr_at(12))
 
     # loss series survived the round trip and is fully populated
     payload, _ = load_pytree_npz(str(weights))

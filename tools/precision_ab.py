@@ -201,10 +201,12 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
     results = {}
     for tag, kw in arms:
         # shipping defaults (fast_augment + shear_warp + mixed compute +
-        # GP-fake reuse, all SWD-promoted); arms may override
+        # GP-fake reuse, all SWD-promoted); arms may override, including the
+        # matmul precision via 'precision_name' ('highest'|'high'|'default')
         kw = {'fast_augment': True, 'shear_warp': True,
               'compute_dtype': 'mixed', 'gp_reuse_fakes': True, **kw}
-        fake, train_s = run_arm('default', dataset, args, args.out,
+        precision_name = kw.pop('precision_name', 'default')
+        fake, train_s = run_arm(precision_name, dataset, args, args.out,
                                 tag=tag, **kw)
         lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
                                   n_patches=2048, n_repeats=8)

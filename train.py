@@ -253,8 +253,20 @@ if mesh is not None:
 
 dataset.set_image_size(growth.image_size)
 
-# HBM-resident dataset stack
-images_stack = jnp.asarray(dataset.images)
+# HBM-resident dataset stack — or host-resident streaming when the raw stack
+# would exceed the device budget (neuron_gan_tpu/streaming.py; the reference
+# handles oversize datasets by re-reading items from disk per access,
+# NeuronDataset.py:128-146)
+_stack_bytes = len(dataset) * dataset.padded_size ** 2 * 4
+streaming_stack = bool(config.hbm_budget_mb) and \
+    _stack_bytes > config.hbm_budget_mb * 2 ** 20
+if streaming_stack:
+    print('dataset stack {:.0f} MB exceeds hbm_budget_mb={} — streaming from '
+          'host per epoch'.format(_stack_bytes / 2 ** 20, config.hbm_budget_mb))
+    # bounded device-resident sample: checkpoint artifacts + SWD real set
+    images_stack = jnp.asarray(np.ascontiguousarray(dataset.images[:64]))
+else:
+    images_stack = jnp.asarray(dataset.images)
 if mesh is not None:
     images_stack = replicate(images_stack, mesh)
 
@@ -271,6 +283,17 @@ Disc_adapt_update_period = 100
 Monitoring_period = 10
 
 epoch_init = checkpoint.epoch + 1
+# the lr is a pure function of epoch, so resume correctness never depends on
+# the saved value — but a mismatch means the checkpoint was written under a
+# different schedule (or by a pre-round-3 build that recorded the initial lr)
+if config.resume and checkpoint.epoch > 0 and 'meta' in dir():
+    saved_lr = meta.get('lr') if isinstance(meta, dict) else None
+    if saved_lr is not None and not np.isclose(
+            float(saved_lr), sched.lr_at(checkpoint.epoch), rtol=1e-5):
+        print('resume: checkpoint meta lr {:.6g} != schedule lr {:.6g} at '
+              'epoch {} — resuming with the schedule value'.format(
+                  float(saved_lr), sched.lr_at(checkpoint.epoch),
+                  checkpoint.epoch))
 if config.N_epochs_session:
     # clamp: the schedule (and the checkpoint's loss series) end at
     # N_epochs; a session must not train past it
@@ -419,7 +442,9 @@ def swd_monitor(epoch, state, growth):
 
 def save_checkpoint(epoch, state, growth):
     meta = {
-        'lr': config.learning_rate,
+        # the lr in effect at the checkpointed epoch (the reference saves the
+        # current decayed lr, utils.py:166) — not the initial learning_rate
+        'lr': float(lr_at(epoch)),
         'image_size': growth.image_size,
         'alpha': float(min(growth.alpha, 1.0)),
         'phase': growth.phase,
@@ -465,14 +490,26 @@ def pggan_train():
         chunk_end = next_chunk_end(epoch)
         n_epochs_chunk = chunk_end - epoch + 1
         spec = make_spec(epoch, n_critic)
-        runner = make_epoch_runner(model_cfg, spec, n_epochs_chunk,
-                                   donate=config.donate_state)
         # optional one-shot device trace of a steady-state chunk
         profile_this = bool(config.profile_dir) and epoch > epoch_init \
             and not pggan_train.profiled
         if profile_this:
             jax.profiler.start_trace(config.profile_dir)
-        state, stats = runner(state, images_stack, run_key, epoch)
+        if streaming_stack:
+            from neuron_gan_tpu.streaming import (
+                run_epochs_streaming, group_batches_for_budget)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            max_group = group_batches_for_budget(
+                spec, dataset.padded_size, config.hbm_budget_mb * 2 ** 20)
+            state, stats = run_epochs_streaming(
+                model_cfg, spec, state, dataset.images, run_key, epoch,
+                n_epochs_chunk, max_group,
+                sharding=(NamedSharding(mesh, P()) if mesh is not None
+                          else None))
+        else:
+            runner = make_epoch_runner(model_cfg, spec, n_epochs_chunk,
+                                       donate=config.donate_state)
+            state, stats = runner(state, images_stack, run_key, epoch)
         stats = np.asarray(jax.device_get(stats))  # (n, 6)
         if profile_this:
             jax.profiler.stop_trace()
