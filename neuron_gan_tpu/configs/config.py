@@ -123,24 +123,28 @@ fast_augment = True          # Run the augmentation warp at phase resolution
                              # quality A/B showed no regression (fast was
                              # never worse); set False for the reference's
                              # exact augmentation distribution.
-shear_warp = True            # Replace the augmentation's point-gather
-                             # affine warp with a 3-pass integer-shift
-                             # SHEAR rotation (quarter turns stay exact
-                             # pixel permutations).  ~2x faster warp on
-                             # TPU (the warp was the single largest op in
-                             # the step; BASELINE.md), but pixels round
-                             # once per shear pass instead of once per
-                             # point — a slightly different
-                             # nearest-sampling distribution than
-                             # torchvision RandomAffine.  Requires
+shear_warp = 'auto'          # Augmentation warp backend.  True: replace
+                             # the point-gather affine warp with a 3-pass
+                             # integer-shift SHEAR rotation (quarter turns
+                             # stay exact pixel permutations) — ~2x faster
+                             # warp on TPU at most phases (the warp was
+                             # the single largest op in the step;
+                             # BASELINE.md), but pixels round once per
+                             # shear pass instead of once per point — a
+                             # slightly different nearest-sampling
+                             # distribution than torchvision RandomAffine,
+                             # promoted by a 6-seed SWD quality A/B (mean
+                             # paired difference 6.5x smaller than the
+                             # baseline's own seed noise, 3/3 split, none
+                             # outside the baseline's observed range —
+                             # BASELINE.md; tools/ab_aggregate.py).
+                             # False: the torchvision-exact gather warp.
+                             # 'auto' (default): per-phase max(gather,
+                             # shear) from the measured per-phase table —
+                             # shear everywhere except the 32^2 phase,
+                             # where the shear canvas overhead loses
+                             # (train_step.resolve_shear).  Requires
                              # fast_augment (ignored when that is False).
-                             # Default after a 6-seed SWD quality A/B:
-                             # mean paired difference 6.5x smaller than
-                             # the baseline's own seed noise, seeds split
-                             # 3/3, no seed outside the baseline's
-                             # observed range (BASELINE.md "Shear SWD
-                             # quality A/B"; tools/ab_aggregate.py).  Set
-                             # False for the torchvision-exact warp.
 gp_reuse_fakes = True        # Reuse the critic-loss fake batch for the
                              # gradient-penalty interpolates (the original
                              # WGAN-GP formulation, Gulrajani et al. 2017)
@@ -264,6 +268,8 @@ def validate_configs(interactive=True):
     assert ID != '', 'The training ID is undefined.'
     assert compute_dtype in ('float32', 'bfloat16', 'mixed'), f'compute_dtype:{compute_dtype} is not supported.'
     assert hbm_budget_mb >= 0, 'hbm_budget_mb must be >= 0 (0 disables streaming).'
+    assert shear_warp in (True, False, 'auto'), \
+        f'shear_warp must be True, False or "auto"; got {shear_warp!r}.'
 
     if pggan:
         global transit_sch, transit_period

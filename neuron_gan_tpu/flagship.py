@@ -45,8 +45,9 @@ def flagship_chunk_spec(phase, fading=False, **overrides):
         sim_decay=0.0, beta1=0.5, rmsprop=False, lr0=1e-4,
         lr_gamma=0.9998157, lr_boundary=0, lr_cap=12500, alpha_start=0,
         alpha_step=1e-4, latent_dim=64,
-        # promoted augmentation defaults (configs/config.py; BASELINE.md)
-        fast_augment=True, shear_warp=True,
+        # promoted augmentation defaults (configs/config.py; BASELINE.md);
+        # 'auto' = per-phase max(gather, shear) — train_step.resolve_shear
+        fast_augment=True, shear_warp='auto',
     )
     kw.update(overrides)
     return ChunkSpec(**kw)

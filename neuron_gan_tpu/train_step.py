@@ -143,11 +143,13 @@ class ChunkSpec:
     # Run the augmentation warp at phase scale (AugmentSpec.fast) —
     # config.fast_augment
     fast_augment: bool = False
-    # Replace the point-gather affine warp with the 3-pass integer-shift
-    # shear rotation (quarter turns exact; ~2x faster warp on TPU — see
-    # BASELINE.md; a slightly different nearest-sampling distribution,
-    # SWD-gated).  Only affects the fast_augment path.  config.shear_warp
-    shear_warp: bool = False
+    # Augmentation warp backend (only affects the fast_augment path;
+    # config.shear_warp).  True = 3-pass integer-shift shear rotation
+    # (quarter turns exact; ~2x faster warp on TPU at most phases but a
+    # slightly different nearest-sampling distribution — 6-seed SWD-gated,
+    # BASELINE.md); False = torchvision-exact point-gather warp; 'auto' =
+    # pick the measured-faster backend per phase resolution (resolve_shear).
+    shear_warp: object = False
     # Reuse the critic-loss fake batch (z1) for the gradient-penalty
     # interpolates instead of drawing a fresh z2 — the original WGAN-GP
     # formulation (Gulrajani et al. penalize the same fake minibatch); the
@@ -202,6 +204,23 @@ def epoch_scalars(spec: ChunkSpec, epoch):
     return alpha, lr, lam
 
 
+def resolve_shear(shear_warp, out_size):
+    """Resolve the warp backend for one phase: bool forces it; 'auto' picks
+    the measured-faster backend per phase resolution.  The per-phase
+    steady-state study (BASELINE.md shear section) has shear ahead at every
+    phase EXCEPT 32² (424→304 steps/s — the shear canvas/stage overhead
+    dominates the tiny warp there, while the gather's point count is still
+    small): 16² 540→581, 64² 182→239, 128² 82→90, 256² 36.5→41.7,
+    512² 9.97→11.43.  Both backends passed the same 6-seed SWD quality bar,
+    so mixing them across phases changes no gated semantics."""
+    if isinstance(shear_warp, bool):
+        return shear_warp
+    if shear_warp == 'auto':
+        return out_size != 32
+    raise ValueError(f'shear_warp must be True, False or "auto"; '
+                     f'got {shear_warp!r}')
+
+
 def make_batch_step(cfg: PGConfig, spec: ChunkSpec):
     """Build ``batch_body(state, (raw_batch, k_batch), alpha, lr, sim_lam)``
     — one full G+D update on one raw (unaugmented) batch.  Shared between
@@ -211,7 +230,8 @@ def make_batch_step(cfg: PGConfig, spec: ChunkSpec):
     aug_spec = AugmentSpec(crop_size=spec.crop_size, out_size=out_size,
                            translation=spec.translation, augment=spec.augment,
                            fast=spec.fast_augment,
-                           shear=spec.shear_warp and spec.fast_augment)
+                           shear=(resolve_shear(spec.shear_warp, out_size)
+                                  and spec.fast_augment))
     opt = make_optimizer(spec.beta1, spec.rmsprop)
 
     def g_apply_with(alpha):

@@ -8,7 +8,7 @@ from neuron_gan_tpu.models import PGConfig, init_generator_pg, init_discriminato
 from neuron_gan_tpu.schedule import TrainSchedule, sim_lambda_at
 from neuron_gan_tpu.train_step import (
     ChunkSpec, make_epoch_runner, make_optimizer, init_train_state,
-    STAT_NAMES,
+    resolve_shear, STAT_NAMES,
 )
 
 
@@ -246,6 +246,56 @@ def test_epoch_runner_fast_augment(images_stack):
     w0 = np.asarray(state['g_params']['stem']['conv']['w'])
     w1 = np.asarray(new_state['g_params']['stem']['conv']['w'])
     assert not np.allclose(w0, w1)
+
+
+def test_resolve_shear_auto_picks_measured_faster_backend():
+    """'auto' = per-phase max(gather, shear) from the BASELINE.md per-phase
+    study: gather only at the 32^2 phase, shear everywhere else; bools
+    force a backend unconditionally."""
+    for res in (4, 8, 16, 64, 128, 256, 512, 1024):
+        assert resolve_shear('auto', res) is True
+    assert resolve_shear('auto', 32) is False
+    for res in (32, 512):
+        assert resolve_shear(True, res) is True
+        assert resolve_shear(False, res) is False
+    with pytest.raises(ValueError):
+        resolve_shear('fast', 64)
+
+
+@pytest.mark.slow
+def test_shear_auto_matches_forced_backend(images_stack):
+    """A shear_warp='auto' chunk is the SAME executable as the resolved
+    bool: bit-identical state/stats vs shear_warp=True away from 32^2, and
+    vs shear_warp=False at a 32^2-output phase."""
+    spec_auto = make_spec(fast_augment=True, shear_warp='auto')
+    spec_shear = make_spec(fast_augment=True, shear_warp=True)
+    s_a, st_a = make_epoch_runner(CFG, spec_auto, n_epochs=1, donate=False)(
+        make_state(), images_stack, jax.random.PRNGKey(6), 1)
+    s_f, st_f = make_epoch_runner(CFG, spec_shear, n_epochs=1, donate=False)(
+        make_state(), images_stack, jax.random.PRNGKey(6), 1)
+    np.testing.assert_array_equal(np.asarray(st_a), np.asarray(st_f))
+
+    cfg32 = PGConfig(n_gen_features=(8,), n_dis_features=(8,),
+                     latent_dim=12, image_size_init=32)
+    rng = np.random.default_rng(3)
+    stack32 = jnp.asarray(rng.random((4, 40, 40, 1)).astype(np.float32))
+    kw = dict(crop_size=40, latent_dim=cfg32.latent_dim, fast_augment=True)
+    spec_auto32 = make_spec(shear_warp='auto', **kw)
+    spec_gather32 = make_spec(shear_warp=False, **kw)
+
+    def state32():
+        kg, kd = jax.random.split(jax.random.PRNGKey(0))
+        return init_train_state(init_generator_pg(kg, cfg32),
+                                init_discriminator_pg(kd, cfg32),
+                                make_optimizer())
+
+    s_a, st_a = make_epoch_runner(cfg32, spec_auto32, n_epochs=1,
+                                  donate=False)(
+        state32(), stack32, jax.random.PRNGKey(6), 1)
+    s_g, st_g = make_epoch_runner(cfg32, spec_gather32, n_epochs=1,
+                                  donate=False)(
+        state32(), stack32, jax.random.PRNGKey(6), 1)
+    np.testing.assert_array_equal(np.asarray(st_a), np.asarray(st_g))
 
 
 def test_unrolled_batch_scan_matches_rolled(images_stack):

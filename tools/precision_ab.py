@@ -200,10 +200,10 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
 
     results = {}
     for tag, kw in arms:
-        # shipping defaults (fast_augment + shear_warp + mixed compute +
-        # GP-fake reuse, all SWD-promoted); arms may override, including the
-        # matmul precision via 'precision_name' ('highest'|'high'|'default')
-        kw = {'fast_augment': True, 'shear_warp': True,
+        # shipping defaults (fast_augment + shear_warp='auto' + mixed
+        # compute + GP-fake reuse, all SWD-promoted); arms may override,
+        # including matmul precision via 'precision_name'
+        kw = {'fast_augment': True, 'shear_warp': 'auto',
               'compute_dtype': 'mixed', 'gp_reuse_fakes': True, **kw}
         precision_name = kw.pop('precision_name', 'default')
         fake, train_s = run_arm(precision_name, dataset, args, args.out,
@@ -267,7 +267,7 @@ def main():
         # shipping augmentation defaults, matching run_quality_ab — the
         # precision knob is measured on the production pipeline
         fake, train_s = run_arm(arm, dataset, args, args.out,
-                                fast_augment=True, shear_warp=True)
+                                fast_augment=True, shear_warp='auto')
         lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
                                   n_patches=2048, n_repeats=8)
         results[arm] = {'swd_mean': round(mean, 4),

@@ -336,7 +336,8 @@ def make_spec(e, n_critic):
         crop_size=dataset.image_size_max, translation=config.translation,
         augment=dataset.augmentations,
         fast_augment=bool(config.fast_augment),
-        shear_warp=bool(config.shear_warp),
+        shear_warp=(config.shear_warp if config.shear_warp == 'auto'
+                    else bool(config.shear_warp)),
         gp_reuse_fakes=bool(config.gp_reuse_fakes),
         gp_lambda=float(config.grad_pen_lambda),
         drift_epsilon=float(config.drift_epsilon),
