@@ -92,6 +92,13 @@ class PGConfig:
     # second-order differentiable).  None = auto (resolved by
     # ``packed_pallas_epilogue`` below); explicit True/False overrides.
     pallas_epilogue: Optional[bool] = None
+    # Fully fused conv3x3 + LeakyReLU + grouped-PixelNorm Pallas kernel for
+    # the packed stride-1 block convs (ops/pallas_conv.py): the conv runs
+    # inside the kernel, so the pre-activation z never touches HBM (the
+    # round-2 epilogue-only kernel lost exactly because the opaque call
+    # blocked XLA's epilogue-into-conv fusion).  GP-safe (second-order
+    # differentiable).  None = auto (resolved by ``packed_pallas_conv``).
+    pallas_conv: Optional[bool] = None
     # Fuse upsample + first block conv into one composed-kernel conv in the
     # packed generator path (ops/packed.py::up2_equalized_conv3x3): 4x fewer
     # MACs and no interleave chain, but float-reordered summation vs the
@@ -166,6 +173,17 @@ class PGConfig:
         interpret mode off-TPU (kernel unit tests)."""
         if self.pallas_epilogue is not None:
             return self.pallas_epilogue
+        return False
+
+    @property
+    def packed_pallas_conv(self) -> bool:
+        """Resolved pallas_conv gate.  Auto (None) resolves to False
+        pending/per the hardware measurement (BASELINE.md "Pallas fused
+        conv block").  Explicit True enables it (interpret mode off-TPU);
+        the parity path (precision='highest') never routes here
+        regardless — the kernel is a fast-path formulation."""
+        if self.pallas_conv is not None:
+            return self.pallas_conv and self.precision is None
         return False
 
 
@@ -309,6 +327,27 @@ def _packed_lrelu_pn(x, cfg: PGConfig):
     return pk.packed_pixel_norm(y, f32_stats=cfg.mixed)
 
 
+def _packed_conv_lrelu_pn(x, p, cfg: PGConfig):
+    """Packed stride-1 conv3x3 -> LeakyReLU -> grouped PixelNorm.
+
+    With cfg.packed_pallas_conv (bias-free block convs only) the whole
+    chain is ONE Pallas kernel — the conv runs inside it, so the
+    pre-activation never materializes in HBM (ops/pallas_conv.py);
+    otherwise the composed packed conv + epilogue ops."""
+    from neuron_gan_tpu.ops import packed as pk
+    if cfg.packed_pallas_conv and 'b' not in p:
+        from neuron_gan_tpu.ops.pallas_conv import (
+            packed_conv3x3_lrelu_pn_pallas)
+        interpret = jax.default_backend() != 'tpu'  # CPU tests interpret
+        w = p['w']
+        wp = pk.pack_conv3x3_weight(w, pk._eq_scale3x3(w, cfg.neg_slope))
+        return packed_conv3x3_lrelu_pn_pallas(x, wp, cfg.neg_slope, 1e-8,
+                                              interpret)
+    return _packed_lrelu_pn(
+        pk.packed_equalized_conv3x3(x, p, neg_slope=cfg.neg_slope,
+                                    precision=cfg.precision), cfg)
+
+
 def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
     """Run generator block i; returns (x, packed_out).  Block i's convs run
     at out_res = resolution(i+1); packed iff out_res >= packed_min_res."""
@@ -333,9 +372,7 @@ def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
         x = pk.packed_equalized_conv3x3(x, p['conv1'], neg_slope=cfg.neg_slope,
                                         precision=cfg.precision)
     x = _packed_lrelu_pn(x, cfg)
-    x = _packed_lrelu_pn(
-        pk.packed_equalized_conv3x3(x, p['conv2'], neg_slope=cfg.neg_slope,
-                                    precision=cfg.precision), cfg)
+    x = _packed_conv_lrelu_pn(x, p['conv2'], cfg)
     return x, True
 
 
@@ -439,9 +476,7 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
     # --- shared epilogue + conv2 tail ---
     if packed_out:
         y = _packed_lrelu_pn(y, cfg)
-        y = _packed_lrelu_pn(
-            pk.packed_equalized_conv3x3(y, p['conv2'], neg_slope=cfg.neg_slope,
-                                        precision=cfg.precision), cfg)
+        y = _packed_conv_lrelu_pn(y, p['conv2'], cfg)
     else:
         y = _lrelu_pn(y, cfg)
         y = _lrelu_pn(equalized_conv2d(y, p['conv2'], padding=1,
