@@ -26,9 +26,13 @@ import numpy as np
 TORCH_REF_STEPS_PER_SEC = 0.0127  # 2026-08-16, torch 2.13 CPU, 1 core
 
 
+V5E_HBM_GBPS = 819  # TPU v5e peak HBM bandwidth (public spec), GB/s
+
+
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
-              shear_warp=True, compute_dtype='mixed', gp_reuse_fakes=True,
-              pallas_epilogue=None, unroll=1):
+              shear_warp='auto', compute_dtype='mixed', gp_reuse_fakes=True,
+              pallas_epilogue=None, pallas_conv=None, unroll=1,
+              roofline=None):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -52,7 +56,8 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
     # the shipping flagship configuration (shared with the profiling tools
     # so promoted defaults cannot drift out of the measurement stack)
     cfg = flagship_config(compute_dtype=compute_dtype,
-                          pallas_epilogue=pallas_epilogue)
+                          pallas_epilogue=pallas_epilogue,
+                          pallas_conv=pallas_conv)
     if phase is None:
         phase = cfg.n_phases - 1
     batch = 8
@@ -86,7 +91,142 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
     stats_host = np.asarray(stats)
     dt = time.perf_counter() - t0
     assert np.isfinite(stats_host).all(), 'non-finite training stats'
-    return n_epochs_chunk * batches_per_epoch / dt  # G+D steps/sec
+    value = n_epochs_chunk * batches_per_epoch / dt  # G+D steps/sec
+    if roofline is not None:
+        # HBM roofline estimate from XLA's own cost model: 'bytes accessed'
+        # of the timed executable / steps, and the implied fraction of v5e
+        # peak HBM bandwidth at the measured rate.  XLA counts bytes at the
+        # HLO level (fusions may keep some of them in VMEM), so this is an
+        # UPPER bound on true HBM traffic — %-of-roofline is correspondingly
+        # an upper bound; the op-trace BW column (tools/op_trace.py) gives
+        # the per-op measured view (BASELINE.md round-3 decomposition).
+        try:
+            compiled = runner.lower(state, images,
+                                    jax.random.PRNGKey(1),
+                                    1 + n_epochs_chunk).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            total = float(ca.get('bytes accessed', 0.0))
+            if total > 0:
+                per_step = total / (n_epochs_chunk * batches_per_epoch)
+                roofline['hbm_gb_per_step'] = round(per_step / 1e9, 3)
+                roofline['hbm_roofline_pct'] = round(
+                    100.0 * per_step * value / (V5E_HBM_GBPS * 1e9), 1)
+        except Exception as e:  # cost analysis is best-effort diagnostics
+            roofline['error'] = f'{type(e).__name__}: {e}'
+    return value
+
+
+def bench_mesh(mesh_shape, phase=2, n_epochs_chunk=5):
+    """Mesh-sharded train-step throughput: the SHIPPING step jitted over a
+    jax.sharding.Mesh with the batch sharded on 'data' (and conv output
+    channels on 'model' when present) — exactly the layout train.py builds
+    for config.mesh_shape (parallel/mesh.py).
+
+    This host has ONE real TPU chip, so a mesh larger than the real device
+    count falls back to a VIRTUAL CPU mesh (jax_num_cpu_devices).  That
+    validates the sharded executable + collective layout end-to-end, but it
+    times XLA:CPU collective emulation on one core — a MECHANISM check, not
+    an ICI scaling claim (the returned record says which backend ran; on a
+    real multi-chip slice the same code path measures true scaling).
+
+    Returns the JSON record: sharded steps/s, the single-device steps/s of
+    the same executable geometry on the same backend (isolating the
+    sharding/collective overhead), mesh shape, backend, and geometry.
+
+    Geometry: the full flagship model on a real multi-device backend; on
+    the virtual CPU fallback a reduced production-layout config (the
+    dryrun_multichip geometry: (16,8,8) features, packed 64^2 top phase,
+    mixed compute, fused kernels) — the flagship's dp x tp step takes XLA:CPU
+    >10 min to compile, which would make the mode unrunnable exactly where
+    it must run.
+    """
+    import jax
+    n = 1
+    for v in mesh_shape.values():
+        n *= int(v)
+    backend = jax.default_backend()
+    if len(jax.devices()) < n:
+        import jax.extend.backend
+        jax.extend.backend.clear_backends()
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_num_cpu_devices', n)
+        backend = 'cpu-virtual'
+    else:
+        import neuron_gan_tpu
+        neuron_gan_tpu.enable_compilation_cache()
+    import jax.numpy as jnp
+    from neuron_gan_tpu.models import (
+        PGConfig, init_generator_pg, init_discriminator_pg)
+    from neuron_gan_tpu.parallel import make_mesh, shard_params, replicate
+    from neuron_gan_tpu.train_step import (
+        make_epoch_runner, make_optimizer, init_train_state)
+    from neuron_gan_tpu.flagship import flagship_config, flagship_chunk_spec
+
+    if backend == 'cpu-virtual':
+        cfg = PGConfig(n_gen_features=(16, 8, 8), n_dis_features=(8, 8, 16),
+                       latent_dim=16, image_size_init=16, packed_min_res=64,
+                       precision=None, compute_dtype='mixed')
+        phase = min(phase, cfg.n_phases - 1)
+        geometry = 'reduced (dryrun-scale, packed 64^2 top)'
+        pad = cfg.resolution(cfg.n_phases - 1)  # 64 + 2*16 crop padding
+        crop = pad
+        image_hw = pad + pad // 2
+    else:
+        cfg = flagship_config()
+        geometry = 'flagship'
+        crop, image_hw = 512, 768
+    data = int(mesh_shape.get('data', 1))
+    batch = data * max(1, 8 // data)  # >= the flagship batch 8, divisible
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    images_host = rng.random((16, image_hw, image_hw, 1)).astype(np.float32)
+
+    def measure(mesh, data_axis):
+        spec = flagship_chunk_spec(phase, batch_size=batch,
+                                   data_axis=data_axis, crop_size=crop,
+                                   latent_dim=cfg.latent_dim)
+        state = init_train_state(init_generator_pg(kg, cfg),
+                                 init_discriminator_pg(kd, cfg),
+                                 make_optimizer())
+        if mesh is not None:
+            state = {k: shard_params(v, mesh) for k, v in state.items()}
+        images = replicate(jnp.asarray(images_host), mesh)
+        runner = make_epoch_runner(cfg, spec, n_epochs=n_epochs_chunk,
+                                   donate=False)
+        import contextlib
+        ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            state, stats = runner(state, images, jax.random.PRNGKey(0), 1)
+            np.asarray(stats)  # compile + true host sync
+            t0 = time.perf_counter()
+            state, stats = runner(state, images, jax.random.PRNGKey(1),
+                                  1 + n_epochs_chunk)
+            stats_host = np.asarray(stats)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(stats_host).all(), 'non-finite training stats'
+        return n_epochs_chunk * (16 // batch) / dt
+
+    mesh = make_mesh(mesh_shape)
+    sharded = measure(mesh, 'data' if 'data' in mesh_shape else None)
+    single = measure(None, None)
+    res = cfg.resolution(phase)
+    return {
+        'metric': f'mesh_train_steps_per_sec_{res}',
+        'value': round(sharded, 3),
+        'unit': f'steps/sec (G+D, batch {batch}, {res}x{res}, '
+                f'sharded over {mesh_shape})',
+        'vs_baseline': None,
+        'mesh_shape': mesh_shape,
+        'backend': backend,
+        'geometry': geometry,
+        'single_device_steps_per_sec': round(single, 3),
+        'note': ('mechanism measurement: virtual CPU mesh emulates '
+                 'collectives on one core, not ICI'
+                 if backend == 'cpu-virtual' else
+                 'real multi-device mesh'),
+    }
 
 
 def bench_eval(n_images=20, n_iters=20, fast=False):
@@ -286,6 +426,24 @@ if __name__ == '__main__':
                           'vs_baseline': None}))
         sys.exit(0)
 
+    if '--mesh' in sys.argv:
+        # bench.py --mesh data=8 [--phase N] — mesh-sharded shipping step
+        # (virtual CPU mesh when the host lacks the devices; see bench_mesh)
+        i = sys.argv.index('--mesh')
+        if i + 1 >= len(sys.argv):
+            sys.exit('--mesh requires a shape, e.g. --mesh data=8 or '
+                     '--mesh data=4,model=2')
+        try:
+            shape = {k: int(v) for k, v in
+                     (kv.split('=') for kv in sys.argv[i + 1].split(','))}
+        except ValueError:
+            sys.exit(f'bad mesh shape {sys.argv[i + 1]!r}; expected e.g. '
+                     'data=4,model=2')
+        phase = (int(sys.argv[sys.argv.index('--phase') + 1])
+                 if '--phase' in sys.argv else 2)
+        print(json.dumps(bench_mesh(shape, phase=phase)))
+        sys.exit(0)
+
     if '--preset' in sys.argv:
         # the config_fast preset: every measured opt-in speed knob together
         # (compute_dtype='mixed', gp_reuse_fakes, shear_warp — BASELINE.md)
@@ -300,8 +458,9 @@ if __name__ == '__main__':
         }))
         sys.exit(0)
 
-    # shear_warp is the shipping default since its 6-seed SWD promotion
-    # (BASELINE.md); --no-shear measures the point-gather warp instead
+    # shear_warp='auto' is the shipping default (per-phase max(gather,
+    # shear) since the 6-seed SWD promotion — BASELINE.md); --no-shear
+    # measures the point-gather warp everywhere instead
     unroll = 1
     if '--unroll' in sys.argv:
         i = sys.argv.index('--unroll')
@@ -314,10 +473,14 @@ if __name__ == '__main__':
             sys.exit(f'--unroll expects an integer, got {sys.argv[i + 1]!r}')
         if unroll < 1:
             sys.exit('--unroll must be >= 1')
-    value = bench_tpu(shear_warp='--no-shear' not in sys.argv,
+    roofline = {}
+    value = bench_tpu(shear_warp=(False if '--no-shear' in sys.argv
+                                  else 'auto'),
                       pallas_epilogue=(True if '--pallas-epilogue'
                                        in sys.argv else None),
-                      unroll=unroll)
+                      pallas_conv=(True if '--pallas-conv' in sys.argv
+                                   else None),
+                      unroll=unroll, roofline=roofline)
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
     record = {
@@ -326,6 +489,9 @@ if __name__ == '__main__':
         'unit': 'steps/sec (G+D, batch 8, 512x512, incl. on-device aug)',
         'vs_baseline': round(vs, 2) if vs else None,
     }
+    if 'hbm_gb_per_step' in roofline:
+        # upper-bound HBM traffic (XLA cost model) and implied % of v5e peak
+        record.update(roofline)
     # non-default unroll must be distinguishable from a baseline measurement
     if unroll != 1:
         record['metric'] += f'_unroll{unroll}'
