@@ -248,6 +248,7 @@ def test_graft_entry_single_chip():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

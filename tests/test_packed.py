@@ -188,6 +188,7 @@ def test_use_pallas_forward_matches_plain(params):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_training_epoch_stats_match_plain():
     """One full WGAN-GP training epoch through the packed layout reproduces
     the plain layout's loss statistics.
@@ -370,6 +371,7 @@ def test_discriminator_fused_pool_matches_decomposed():
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_generator_fused_up2_matches_decomposed():
     """Full packed generator with fuse_up2_conv on vs off (both f32
     highest): same images to float tolerance across phases and fade-in."""

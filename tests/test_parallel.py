@@ -61,6 +61,7 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_data_model_parallel_matches_single_device():
     s1, st1 = run(None)
     s2, st2 = run({'data': 2, 'model': 2})
@@ -97,6 +98,7 @@ PACKED_BASE = dict(BASE, phase=2, fading=False, alpha_start=0,
                    crop_size=64, latent_dim=PACKED_CFG.latent_dim)
 
 
+@pytest.mark.slow
 def test_packed_data_parallel_matches_single_device():
     # Single epoch, like the dp x tp case below.  The einsum kernel-pack
     # transform (ops/packed.py) routes weight gradients through a
@@ -120,6 +122,7 @@ def test_packed_data_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_data_model_parallel_matches_single_device():
     # Single epoch: channel sharding of the packed weight scatter changes
     # f32 reduction orders by ~1e-6, and Adam's sign-normalizing update
@@ -140,6 +143,7 @@ def test_packed_data_model_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_fused_data_model_parallel_matches_single_device():
     """The PRODUCTION training path (precision=None, which auto-enables the
     fused up2-conv and fused pool-conv boundary kernels) under dp x tp must
@@ -165,6 +169,7 @@ def test_packed_fused_data_model_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_shipping_augment_data_model_parallel_matches_single_device():
     """The SHIPPING augmentation defaults (fast_augment + shear_warp, both
     SWD-promoted — config.py) on the production fused path under dp x tp.
@@ -186,6 +191,7 @@ def test_shipping_augment_data_model_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mixed_dtype_data_parallel_runs_and_tracks_single_device():
     """compute_dtype='mixed' under a data mesh: bf16 activations meet the
     batch sharding constraint and the f32 gradient psum without error, and

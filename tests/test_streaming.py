@@ -55,7 +55,7 @@ def test_group_batches_for_budget():
     assert group_batches_for_budget(spec, 12, 10 ** 9) == 8    # cap at n_full
 
 
-@pytest.mark.parametrize('max_group', [1, 2, 8])
+@pytest.mark.parametrize('max_group', [pytest.param(1, marks=pytest.mark.slow), 2, 8])
 @pytest.mark.parametrize('shuffle', [True, False])
 def test_streaming_matches_resident_runner(max_group, shuffle):
     n_images, B, n_epochs = 9, 2, 3   # 4 full batches + remainder of 1
