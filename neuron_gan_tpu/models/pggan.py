@@ -177,9 +177,11 @@ class PGConfig:
 
     @property
     def packed_pallas_conv(self) -> bool:
-        """Resolved pallas_conv gate.  Auto (None) resolves to False
-        pending/per the hardware measurement (BASELINE.md "Pallas fused
-        conv block").  Explicit True enables it (interpret mode off-TPU);
+        """Resolved pallas_conv gate.  Auto (None) resolves to False per
+        the hardware measurement (BASELINE.md round-3 closed lever: 18.1
+        vs 25.2 steps/s — the hand conv runs the MXU at ~25% occupancy
+        and the z traffic it saves is ~40 us/step; XLA's composed conv +
+        fused epilogue wins).  Explicit True enables it (interpret off-TPU);
         the parity path (precision='highest') never routes here
         regardless — the kernel is a fast-path formulation."""
         if self.pallas_conv is not None:

@@ -12,9 +12,13 @@ forward (one kernel):
   MXU dot products with f32 accumulation, apply LeakyReLU and the 4-group
   PixelNorm on the VPU, and write TWO outputs:
     y (B, H, W, N)   the block output, in x.dtype
-    r (B, H, W*4)    the per-parity-group rsqrt scale, f32 (1/32 the bytes
+    r (B, H*W, 4)    the per-parity-group rsqrt scale, f32 (1/32 the bytes
                      of a bf16 y at N=64) — saved so the backward never
-                     rematerializes the pre-activation z.
+                     rematerializes the pre-activation z.  The (rows, 4)
+                     layout is the shape the kernel's group-sum dot
+                     produces; storing it unreshaped keeps Mosaic off the
+                     lane-crossing (rows,4)->(tr,4W) shape cast it cannot
+                     lower.
   vs the composed ops this removes the z materialization entirely: XLA's
   training graph writes z (conv out) and re-reads it for the epilogue and
   for the backward residual; here z lives only in VMEM.
@@ -57,9 +61,16 @@ _LANES = 128
 
 
 def _row_tile(h, w, k, n):
-    """Rows per grid step: keep the tile's VMEM residency (x + f32 accum +
-    y) under ~6 MB, leave headroom for Mosaic's double buffering."""
-    bytes_per_row = w * (2 * k + 4 * n + 2 * n + 4 * 4)
+    """Rows per grid step, sized to the ~16 MB scoped-VMEM stack.
+
+    Residency per row: the x tile + its padded concat copy (2 bf16 copies
+    of width*k), ~6 f32 row-major temporaries of width*n live at once in
+    the body (acc, u, u*u, s, the y product, plus a tap operand), the y
+    output block (x.dtype) and the (rows, 4) f32 r block — all double
+    buffered by Mosaic.  Target 6 MB of single-buffer residency so the
+    2x buffering lands well under the 16 MB limit (measured: the old
+    optimistic count OOMed at 17.8 MB on v5e at 128^2)."""
+    bytes_per_row = w * (2 * 2 * k + 6 * 4 * n + 2 * n + 4 * 4)
     tr = max(8, int(6e6) // max(1, bytes_per_row))
     tr = min(tr, h)
     while h % tr:
@@ -102,7 +113,7 @@ def _fwd_kernel(x_ref, top_ref, bot_ref, w_ref, y_ref, r_ref, *,
     r4 = jax.lax.rsqrt(m4 + eps)                        # (rows, 4) f32
     s = jnp.dot(r4, gmat.T, preferred_element_type=jnp.float32)
     y_ref[0] = (u * s).reshape(tr, width, n_out).astype(y_ref.dtype)
-    r_ref[0] = r4.reshape(tr, width * 4)
+    r_ref[0] = r4
 
 
 def _dz_kernel(y_ref, r_ref, g_ref, ctr_ref, dz_ref, *, width, n_out,
@@ -119,8 +130,8 @@ def _dz_kernel(y_ref, r_ref, g_ref, ctr_ref, dz_ref, *, width, n_out,
     c = n_out // 4
     yf = y_ref[0].reshape(rows, n_out).astype(jnp.float32)
     gf = g_ref[0].reshape(rows, n_out).astype(jnp.float32)
-    r4 = r_ref[0].reshape(rows, 4)
-    ctr4 = ctr_ref[0].reshape(rows, 4)
+    r4 = r_ref[0]
+    ctr4 = ctr_ref[0]
     s = jnp.dot(r4, gmat.T, preferred_element_type=jnp.float32)
     u = yf / s
     t4 = jnp.dot(gf * u, gmat, preferred_element_type=jnp.float32) + ctr4
@@ -131,7 +142,7 @@ def _dz_kernel(y_ref, r_ref, g_ref, ctr_ref, dz_ref, *, width, n_out,
 
 
 def _dz_pure(y, r, g, ct_r, neg_slope):
-    """Differentiable pure-JAX mirror of _dz_kernel (NHWC y/g, (B,H,4W)
+    """Differentiable pure-JAX mirror of _dz_kernel (NHWC y/g, (B,H*W,4)
     r/ct_r); autodiffed to give the dz kernel its own VJP — the GP second
     order (which needs exactly this one extra derivative)."""
     b, h, w, n = y.shape
@@ -173,12 +184,12 @@ def _call_fwd(x, w_packed, neg_slope, eps, interpret):
         out_specs=(
             pl.BlockSpec((1, tr, width, n), lambda b_, i: (b_, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, width * 4), lambda b_, i: (b_, i, 0),
+            pl.BlockSpec((1, tr * width, 4), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, width, n), x.dtype),
-            jax.ShapeDtypeStruct((b, h, width * 4), jnp.float32),
+            jax.ShapeDtypeStruct((b, h * width, 4), jnp.float32),
         ),
         interpret=interpret,
     )(x, x, x, w_packed.astype(x.dtype))
@@ -199,11 +210,11 @@ def _dz_call(y, r, g, ct_r, neg_slope, eps, interpret):
         in_specs=[
             pl.BlockSpec((1, tr, width, n), lambda b_, i: (b_, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, width * 4), lambda b_, i: (b_, i, 0),
+            pl.BlockSpec((1, tr * width, 4), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr, width, n), lambda b_, i: (b_, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, width * 4), lambda b_, i: (b_, i, 0),
+            pl.BlockSpec((1, tr * width, 4), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tr, width, n), lambda b_, i: (b_, i, 0, 0),

@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
-def capture(phase, n_epochs, trace_dir):
+def capture(phase, n_epochs, trace_dir, pallas_conv=False):
     import jax
     import jax.numpy as jnp
     import neuron_gan_tpu
@@ -39,7 +39,7 @@ def capture(phase, n_epochs, trace_dir):
         make_epoch_runner, make_optimizer, init_train_state)
     from neuron_gan_tpu.flagship import flagship_config, flagship_chunk_spec
 
-    cfg = flagship_config()
+    cfg = flagship_config(**({'pallas_conv': True} if pallas_conv else {}))
     if phase is None:
         phase = cfg.n_phases - 1
     batch, n_images = 8, 16
@@ -103,9 +103,12 @@ def main():
     ap.add_argument('--epochs', type=int, default=3)
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--trace-dir', type=str, default=None)
+    ap.add_argument('--pallas-conv', action='store_true',
+                    help='route packed block convs through the fused '
+                         'Pallas conv+lrelu+pixelnorm kernel')
     args = ap.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix='op_trace_')
-    n_steps = capture(args.phase, args.epochs, trace_dir)
+    n_steps = capture(args.phase, args.epochs, trace_dir, args.pallas_conv)
     report(trace_dir, n_steps, args.top)
 
 
