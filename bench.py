@@ -492,8 +492,14 @@ if __name__ == '__main__':
     if 'hbm_gb_per_step' in roofline:
         # upper-bound HBM traffic (XLA cost model) and implied % of v5e peak
         record.update(roofline)
-    # non-default unroll must be distinguishable from a baseline measurement
+    # non-default knobs must be distinguishable from a baseline measurement
     if unroll != 1:
         record['metric'] += f'_unroll{unroll}'
         record['unroll'] = unroll
+    for flag, key in (('--pallas-conv', 'pallas_conv'),
+                      ('--pallas-epilogue', 'pallas_epilogue'),
+                      ('--no-shear', 'no_shear')):
+        if flag in sys.argv:
+            record['metric'] += '_' + key
+            record[key] = True
     print(json.dumps(record))
