@@ -493,3 +493,95 @@ def pool2_unpacked_equalized_conv3x3(x_packed, params, *, neg_slope=0.2,
     if 'b' in params:
         y = y + params['b'].astype(y.dtype)
     return y
+
+
+# --------------------------------------------------------------------------
+# Full-lane (2x4) packing: a second W-only pack over the 2x2 layout
+# --------------------------------------------------------------------------
+#
+# The 2x2 packing lifts the 16-channel top phases to 64 channels — still
+# only half the 128 VREG lanes, and tools/lane_bench.py measures the
+# half-lane conv 28% slower than a full-lane conv on the SAME activation
+# bytes (BASELINE.md "full-lane 2x4 packing").  Packing once more along W
+# ((B, H/2, W/2, 4C) -> (B, H/2, W/4, 8C)) fills the lanes exactly at
+# C=16.  The conv transform is the 1D instance of the 2x2 derivation:
+# output packed column J parity b2 reads packed4 columns 2J + b2 + q1 for
+# the three packed4 taps q1; with (Q2, b2') = divmod(b2 + q1, 2) each
+# (b2, q1) maps to exactly ONE (Q2, b2') in {-1,0,1}x{0,1} — a collision-
+# free scatter, so taps stay 3x3 and the packed8 kernel is (3,3,8Ci,8Co).
+# Zero padding stays exact by the same argument as _PACK_T: the only
+# out-of-range packed4 columns the scattered kernel reads are the two
+# adjacent ones inside the one-packed8-column zero ring; the outer two are
+# never referenced.  MAC cost: 8x the original conv (2x the 2x2 path) —
+# paid back on HBM-bound shapes per the lane_bench measurement.
+#
+# Channel order: packed8 channel = b2 * 4C + packed4_channel — exactly
+# what ``space_to_depth_w`` produces, so parity groups remain 8 contiguous
+# blocks of C and the grouped epilogues generalize by block count alone.
+
+
+def space_to_depth_w(x):
+    """(B, H, W, K) -> (B, H, W/2, 2K), channel order (b2, k)."""
+    b, h, w, k = x.shape
+    return x.reshape(b, h, w // 2, 2 * k)
+
+
+def depth_to_space_w(x):
+    """(B, H, W, 2K) -> (B, H, 2W, K), inverse of space_to_depth_w."""
+    b, h, w, k2 = x.shape
+    return x.reshape(b, h, 2 * w, k2 // 2)
+
+
+def _pack_w_transfer_tensor():
+    """Constant 0/1 tensor T[Q2+1, b2', b2, q1+1] for the W-only pack
+    scatter (1D analogue of _PACK_T)."""
+    t = np.zeros((3, 2, 2, 3), np.float32)
+    for b2 in (0, 1):
+        for q1 in (-1, 0, 1):
+            q2, bp = divmod(b2 + q1, 2)
+            t[q2 + 1, bp, b2, q1 + 1] = 1.0
+    return t
+
+
+_PACK_W_T = _pack_w_transfer_tensor()
+
+
+def pack_conv3x3_weight_w(w4):
+    """Packed-domain kernel (3,3,K_i,K_o) -> W-packed kernel
+    (3,3,2K_i,2K_o) such that conv(s2dw(x), W8) == s2dw(conv(x, W4))."""
+    ki, ko = w4.shape[2], w4.shape[3]
+    t = jnp.asarray(_PACK_W_T, w4.dtype)
+    # HIGHEST for the same exactness reason as pack_conv3x3_weight
+    out = jnp.einsum('qcbt,ptio->pqcibo', t, w4,
+                     precision=lax.Precision.HIGHEST)
+    return out.reshape(3, 3, 2 * ki, 2 * ko)
+
+
+def packed8_equalized_conv3x3(x_p8, params, *, neg_slope=0.2,
+                              precision=None):
+    """Equalized-LR 3x3 conv in the 2x4-packed domain.
+
+    ``x_p8`` is ``space_to_depth_w(space_to_depth(x))`` of the original
+    NHWC activation; ``params['w']`` stays the ORIGINAL (3,3,Ci,Co)
+    kernel (checkpoint format untouched, like packed_equalized_conv3x3).
+    """
+    w = params['w']
+    scale = _eq_scale3x3(w, neg_slope)
+    w8 = pack_conv3x3_weight_w(pack_conv3x3_weight(w, scale))
+    y = lax.conv_general_dilated(
+        x_p8, w8.astype(x_p8.dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+    if 'b' in params:
+        y = y + jnp.tile(params['b'], 8).astype(y.dtype)
+    return y
+
+
+def packed8_pixel_norm(x_p8, eps=1e-8, f32_stats=False):
+    """PixelNorm over ORIGINAL channels in the 2x4-packed layout: the 8
+    parity groups are contiguous blocks of C (see channel-order note)."""
+    from neuron_gan_tpu.ops.pixelnorm import pixel_norm
+    b, h, w, c8 = x_p8.shape
+    c = c8 // 8
+    xg = x_p8.reshape(b, h, w, 8, c)
+    return pixel_norm(xg, eps, f32_stats=f32_stats).reshape(b, h, w, c8)

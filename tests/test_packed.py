@@ -383,3 +383,68 @@ def test_generator_fused_up2_matches_decomposed():
         want = np.asarray(generator_pg(g, z, cfg_off, phase, alpha))
         got = np.asarray(generator_pg(g, z, cfg_on, phase, alpha))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ---- full-lane (2x4) packing primitives --------------------------------
+
+
+def test_space_depth_w_roundtrip():
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 12)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(pk.depth_to_space_w(pk.space_to_depth_w(x))),
+        np.asarray(x))
+
+
+def test_packed8_conv3x3_exact():
+    """2x4-packed conv == unpacked conv (f32 highest, float tolerance)."""
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    p = {'w': jnp.asarray(
+        rng.standard_normal((3, 3, 5, 7)).astype(np.float32))}
+    want = equalized_conv2d(x, p, padding=1, precision='highest')
+    x8 = pk.space_to_depth_w(pk.space_to_depth(x))
+    got = pk.depth_to_space(pk.depth_to_space_w(
+        pk.packed8_equalized_conv3x3(x8, p, precision='highest')))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed8_conv3x3_with_bias():
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    p = {'w': jnp.asarray(
+             rng.standard_normal((3, 3, 3, 4)).astype(np.float32)),
+         'b': jnp.asarray(rng.standard_normal(4).astype(np.float32))}
+    want = equalized_conv2d(x, p, padding=1, precision='highest')
+    x8 = pk.space_to_depth_w(pk.space_to_depth(x))
+    got = pk.depth_to_space(pk.depth_to_space_w(
+        pk.packed8_equalized_conv3x3(x8, p, precision='highest')))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed8_conv_matches_packed4_layout():
+    """packed8 conv == s2dw(packed4 conv): the W-only scatter composes
+    with the 2x2 transform rather than re-deriving it."""
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 6)).astype(np.float32))
+    p = {'w': jnp.asarray(
+        rng.standard_normal((3, 3, 6, 6)).astype(np.float32))}
+    x4 = pk.space_to_depth(x)
+    want = pk.space_to_depth_w(
+        pk.packed_equalized_conv3x3(x4, p, precision='highest'))
+    got = pk.packed8_equalized_conv3x3(
+        pk.space_to_depth_w(x4), p, precision='highest')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed8_pixel_norm_exact():
+    rng = np.random.default_rng(24)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    want = pixel_norm(x)
+    x8 = pk.space_to_depth_w(pk.space_to_depth(x))
+    got = pk.depth_to_space(pk.depth_to_space_w(pk.packed8_pixel_norm(x8)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
