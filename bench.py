@@ -32,7 +32,7 @@ V5E_HBM_GBPS = 819  # TPU v5e peak HBM bandwidth (public spec), GB/s
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
               shear_warp='auto', compute_dtype='mixed', gp_reuse_fakes=True,
               pallas_epilogue=None, pallas_conv=None, unroll=1,
-              roofline=None):
+              packed_lanes=None, roofline=None):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -57,7 +57,8 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
     # so promoted defaults cannot drift out of the measurement stack)
     cfg = flagship_config(compute_dtype=compute_dtype,
                           pallas_epilogue=pallas_epilogue,
-                          pallas_conv=pallas_conv)
+                          pallas_conv=pallas_conv,
+                          packed_lanes=packed_lanes)
     if phase is None:
         phase = cfg.n_phases - 1
     batch = 8
@@ -480,6 +481,8 @@ if __name__ == '__main__':
                                        in sys.argv else None),
                       pallas_conv=(True if '--pallas-conv' in sys.argv
                                    else None),
+                      packed_lanes=(128 if '--lanes-128' in sys.argv
+                                    else None),
                       unroll=unroll, roofline=roofline)
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
@@ -498,6 +501,7 @@ if __name__ == '__main__':
         record['unroll'] = unroll
     for flag, key in (('--pallas-conv', 'pallas_conv'),
                       ('--pallas-epilogue', 'pallas_epilogue'),
+                      ('--lanes-128', 'packed_lanes_128'),
                       ('--no-shear', 'no_shear')):
         if flag in sys.argv:
             record['metric'] += '_' + key

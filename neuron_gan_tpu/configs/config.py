@@ -113,6 +113,13 @@ packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
                              # >= this resolution run 2x2-packed (exact
                              # transform, 2.4x step speedup at 512^2 — see
                              # ops/packed.py). None disables.
+packed_lanes = None          # Lift 64-channel packed block convs to the
+                             # full-lane 2x4 layout (128 channels): ~1.3x
+                             # faster fwd+bwd on the same activation bytes
+                             # (tools/lane_bench.py --chain; BASELINE.md
+                             # "full-lane 2x4 packing").  128 enables;
+                             # 64/None keeps the 2x2 layout (None = auto,
+                             # off pending the end-to-end promotion study).
 fast_augment = True          # Run the augmentation warp at phase resolution
                              # (resize moved to the front of the pipeline)
                              # instead of the reference's full-padded-res
@@ -270,6 +277,8 @@ def validate_configs(interactive=True):
     assert hbm_budget_mb >= 0, 'hbm_budget_mb must be >= 0 (0 disables streaming).'
     assert shear_warp in (True, False, 'auto'), \
         f'shear_warp must be True, False or "auto"; got {shear_warp!r}.'
+    assert packed_lanes in (None, 64, 128), \
+        f'packed_lanes must be None, 64 or 128; got {packed_lanes!r}.'
 
     if pggan:
         global transit_sch, transit_period

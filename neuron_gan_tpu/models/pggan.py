@@ -111,6 +111,14 @@ class PGConfig:
     # (ops/packed.py::pool2_equalized_conv3x3): removes the s2d retiling
     # copy and the group-mean pass.  Same None-auto gating as fuse_up2_conv.
     fuse_pool_conv: Optional[bool] = None
+    # Lift 64-channel packed stride-1 block convs to the full-lane 2x4
+    # layout (ops/packed.py packed8_*): the W-only repack is a pure
+    # reshape and the 128-channel conv is ~1.3x faster fwd+bwd on the same
+    # activation bytes (tools/lane_bench.py --chain; BASELINE.md
+    # "full-lane 2x4 packing").  128 enables, 64/None keeps the 2x2
+    # layout (None = auto, currently off pending the end-to-end promotion
+    # study).
+    packed_lanes: Optional[int] = None
 
     def __post_init__(self):
         object.__setattr__(self, 'n_gen_features', tuple(self.n_gen_features))
@@ -119,6 +127,8 @@ class PGConfig:
         if self.packed_min_res is not None:
             assert self.packed_min_res > self.image_size_init, \
                 'packed_min_res must exceed the stem/head resolution'
+        assert self.packed_lanes in (None, 64, 128), \
+            f'packed_lanes must be None, 64 or 128, got {self.packed_lanes}'
 
     @property
     def n_layers_max(self) -> int:
@@ -350,6 +360,38 @@ def _packed_conv_lrelu_pn(x, p, cfg: PGConfig):
                                     precision=cfg.precision), cfg)
 
 
+def _use_packed8(cfg: PGConfig, x_packed4) -> bool:
+    """Route this block's interior through the full-lane 2x4 layout?
+    Only the 64-channel (Ci=16) shapes gain lanes; wider is already full.
+    The repack is hoisted to BLOCK level — one W-repack pair per block,
+    not per conv: on TPU's tiled layouts the (B,H,W,4C)->(B,H,W/2,8C)
+    reshape is a retiling copy, and a per-conv sandwich measured ~costs
+    the whole conv win back (bench --lanes-128, BASELINE.md)."""
+    return (cfg.packed_lanes == 128 and x_packed4.shape[-1] == 64
+            and x_packed4.shape[2] % 2 == 0)
+
+
+def _packed8_lrelu_pn(x, cfg: PGConfig):
+    """LeakyReLU -> grouped PixelNorm in the 2x4-packed layout."""
+    from neuron_gan_tpu.ops import packed as pk
+    y = leaky_relu(x, cfg.neg_slope)
+    if cfg.precision is None:
+        return pk.packed8_pixel_norm_mxu(y, f32_stats=cfg.mixed)
+    return pk.packed8_pixel_norm(y, f32_stats=cfg.mixed)
+
+
+def _packed8_conv_lrelu_pn(x, p, cfg: PGConfig):
+    """Full-lane stride-1 conv3x3 -> LeakyReLU -> grouped PixelNorm
+    (~1.3x faster fwd+bwd than the 2x2 layout on the same activation
+    bytes at Ci=16 — tools/lane_bench.py --chain); float-reordered
+    contraction vs the 2x2 layout, same deviation class as the fused
+    boundary kernels."""
+    from neuron_gan_tpu.ops import packed as pk
+    return _packed8_lrelu_pn(
+        pk.packed8_equalized_conv3x3(x, p, neg_slope=cfg.neg_slope,
+                                     precision=cfg.precision), cfg)
+
+
 def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
     """Run generator block i; returns (x, packed_out).  Block i's convs run
     at out_res = resolution(i+1); packed iff out_res >= packed_min_res."""
@@ -373,6 +415,11 @@ def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
             x = pk.space_to_depth(upsample2_bilinear(x))
         x = pk.packed_equalized_conv3x3(x, p['conv1'], neg_slope=cfg.neg_slope,
                                         precision=cfg.precision)
+    if _use_packed8(cfg, x):
+        x = pk.space_to_depth_w(x)
+        x = _packed8_lrelu_pn(x, cfg)
+        x = _packed8_conv_lrelu_pn(x, p['conv2'], cfg)
+        return pk.depth_to_space_w(x), True
     x = _packed_lrelu_pn(x, cfg)
     x = _packed_conv_lrelu_pn(x, p['conv2'], cfg)
     return x, True
@@ -476,7 +523,12 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
                                  precision=cfg.precision)
 
     # --- shared epilogue + conv2 tail ---
-    if packed_out:
+    if packed_out and _use_packed8(cfg, y):
+        y = pk.space_to_depth_w(y)
+        y = _packed8_lrelu_pn(y, cfg)
+        y = _packed8_conv_lrelu_pn(y, p['conv2'], cfg)
+        y = pk.depth_to_space_w(y)
+    elif packed_out:
         y = _packed_lrelu_pn(y, cfg)
         y = _packed_conv_lrelu_pn(y, p['conv2'], cfg)
     else:

@@ -122,16 +122,18 @@ def packed_pixel_norm(x_packed, eps=1e-8, f32_stats=False):
     return pixel_norm(xg, eps, f32_stats=f32_stats).reshape(b, h, w, c4)
 
 
-def _group_mat(c4):
-    """(4C, 4) constant 0/1 matrix: column g marks parity group g's
-    channels (packed channel order is parity-major, see module docstring)."""
-    c = c4 // 4
-    g = np.zeros((c4, 4), np.float32)
-    g[np.arange(c4), np.arange(c4) // c] = 1.0
+def _group_mat(cn, n_groups=4):
+    """(G*C, G) constant 0/1 matrix: column g marks parity group g's
+    channels (packed channel order is parity-major, see module docstring;
+    the 2x4 layout uses n_groups=8)."""
+    c = cn // n_groups
+    g = np.zeros((cn, n_groups), np.float32)
+    g[np.arange(cn), np.arange(cn) // c] = 1.0
     return g
 
 
-def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False):
+def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False,
+                          n_groups=4):
     """Grouped PixelNorm without materializing the (..., 4, C) view:
     per-group mean-of-squares via one tiny 0/1 einsum (4C -> 4) and the
     broadcast back via its transpose (4 -> 4C).
@@ -157,9 +159,9 @@ def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False):
     the promoted mixed recipe's noise bar."""
     c4 = x_packed.shape[-1]
     if f32_stats and x_packed.dtype == jnp.bfloat16:
-        gb = jnp.asarray(_group_mat(c4), jnp.bfloat16)  # 0/1: exact in bf16
+        gb = jnp.asarray(_group_mat(c4, n_groups), jnp.bfloat16)  # 0/1: exact in bf16
         m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(x_packed), gb,
-                        preferred_element_type=jnp.float32) * (4.0 / c4)
+                        preferred_element_type=jnp.float32) * (n_groups / c4)
         r = lax.rsqrt(m4 + eps).astype(jnp.bfloat16)  # f32 stats; one round
         # 0/1 broadcast-back: each output sums exactly one r term — exact
         scale = jnp.einsum('bhwg,kg->bhwk', r, gb,
@@ -167,9 +169,9 @@ def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False):
         return x_packed * scale
     xf = (x_packed.astype(jnp.float32)
           if f32_stats and x_packed.dtype != jnp.float32 else x_packed)
-    g = jnp.asarray(_group_mat(c4), jnp.float32)
+    g = jnp.asarray(_group_mat(c4, n_groups), jnp.float32)
     m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(xf), g,
-                    precision=lax.Precision.HIGHEST) * (4.0 / c4)
+                    precision=lax.Precision.HIGHEST) * (n_groups / c4)
     r = lax.rsqrt(m4 + eps)
     out = xf * jnp.einsum('bhwg,kg->bhwk', r, g.astype(r.dtype),
                           precision=lax.Precision.HIGHEST)
@@ -585,3 +587,9 @@ def packed8_pixel_norm(x_p8, eps=1e-8, f32_stats=False):
     c = c8 // 8
     xg = x_p8.reshape(b, h, w, 8, c)
     return pixel_norm(xg, eps, f32_stats=f32_stats).reshape(b, h, w, c8)
+
+
+def packed8_pixel_norm_mxu(x_p8, eps=1e-8, f32_stats=False):
+    """MXU-grouped PixelNorm in the 2x4-packed layout (8 parity groups —
+    the generalized ``packed_pixel_norm_mxu`` with n_groups=8)."""
+    return packed_pixel_norm_mxu(x_p8, eps, f32_stats=f32_stats, n_groups=8)

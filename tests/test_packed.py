@@ -448,3 +448,89 @@ def test_packed8_pixel_norm_exact():
     got = pk.depth_to_space(pk.depth_to_space_w(pk.packed8_pixel_norm(x8)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_packed8_pixel_norm_mxu_exact():
+    rng = np.random.default_rng(25)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 24)).astype(np.float32))
+    x8 = pk.space_to_depth_w(pk.space_to_depth(x))
+    want = pk.packed8_pixel_norm(x8)
+    got = pk.packed8_pixel_norm_mxu(x8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # bf16 path: f32 stats, bf16-rounded output
+    got_bf = np.asarray(pk.packed8_pixel_norm_mxu(
+        x8.astype(jnp.bfloat16), f32_stats=True)).astype(np.float32)
+    np.testing.assert_allclose(got_bf, np.asarray(want), rtol=2e-2,
+                               atol=2e-2)
+
+
+# ---- packed_lanes=128 routing (full-lane block convs) -------------------
+
+# features chosen so the packed block convs hit c4 == 64 (Ci = 16), the
+# shape the full-lane branch lifts (flagship's 256^2/512^2 top phases)
+CFG_L64 = PGConfig(n_gen_features=(32, 16, 16, 16),
+                   n_dis_features=(16, 16, 16, 32),
+                   latent_dim=16, image_size_init=4, precision='highest',
+                   packed_min_res=16)
+CFG_L128 = dataclasses.replace(CFG_L64, packed_lanes=128)
+
+
+def test_packed8_block_conv_matches_packed4():
+    """The routing unit: the full-lane block tail (repack -> epilogue ->
+    conv2+epilogue -> unpack) == the 2x2-layout tail (f32 highest)."""
+    from neuron_gan_tpu.models.pggan import (
+        _packed_conv_lrelu_pn, _packed_lrelu_pn, _packed8_conv_lrelu_pn,
+        _packed8_lrelu_pn, _use_packed8)
+    rng = np.random.default_rng(30)
+    x4 = jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
+    p = {'w': jnp.asarray(
+        rng.standard_normal((3, 3, 16, 16)).astype(np.float32))}
+    assert _use_packed8(CFG_L128, x4) and not _use_packed8(CFG_L64, x4)
+    want = np.asarray(_packed_conv_lrelu_pn(
+        _packed_lrelu_pn(x4, CFG_L64), p, CFG_L64))
+    got = np.asarray(pk.depth_to_space_w(_packed8_conv_lrelu_pn(
+        _packed8_lrelu_pn(pk.space_to_depth_w(x4), CFG_L128), p,
+        CFG_L128)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_generator_packed_lanes_matches():
+    g = init_generator_pg(jax.random.PRNGKey(31), CFG_L64)
+    z = jax.random.normal(jax.random.PRNGKey(32), (2, CFG_L64.latent_dim))
+    for phase, alpha in [(2, None), (3, None), (3, 0.4)]:
+        want = np.asarray(generator_pg(g, z, CFG_L64, phase, alpha))
+        got = np.asarray(generator_pg(g, z, CFG_L128, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_discriminator_packed_lanes_matches():
+    d = init_discriminator_pg(jax.random.PRNGKey(33), CFG_L64)
+    for phase, alpha in [(2, None), (3, None), (3, 0.4)]:
+        res = CFG_L64.resolution(phase)
+        x = jax.random.normal(jax.random.PRNGKey(34), (2, res, res, 1))
+        want = np.asarray(discriminator_pg(d, x, CFG_L64, phase, alpha))
+        got = np.asarray(discriminator_pg(d, x, CFG_L128, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_lanes_mixed_smoke():
+    """bf16 mixed path through the full-lane branch: finite outputs, and
+    grads flow to the original-format weights."""
+    cfg = dataclasses.replace(CFG_L128, precision=None,
+                              compute_dtype='mixed')
+    g = init_generator_pg(jax.random.PRNGKey(35), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(36), (2, cfg.latent_dim))
+    y = generator_pg(g, z, cfg, 3, None)
+    assert y.dtype == jnp.float32 and np.isfinite(np.asarray(y)).all()
+    grads = jax.grad(lambda p: generator_pg(p, z, cfg, 3, None)
+                     .astype(jnp.float32).sum())(g)
+    gw = grads['blocks'][2]['conv2']['w']
+    assert gw.shape == g['blocks'][2]['conv2']['w'].shape
+    assert np.isfinite(np.asarray(gw)).all() and np.abs(gw).sum() > 0
+
+
+def test_packed_lanes_validation():
+    with pytest.raises(AssertionError):
+        dataclasses.replace(CFG_L64, packed_lanes=96)

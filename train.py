@@ -177,6 +177,7 @@ model_cfg = PGConfig(
     precision=(None if config.matmul_precision == 'default'
                else config.matmul_precision),
     packed_min_res=config.packed_min_res,
+    packed_lanes=config.packed_lanes,
     use_pallas=config.use_pallas,
     # opaque custom calls do not partition under auto-SPMD: keep the einsum
     # epilogue whenever a multi-device mesh is active
