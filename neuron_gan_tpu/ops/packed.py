@@ -593,3 +593,93 @@ def packed8_pixel_norm_mxu(x_p8, eps=1e-8, f32_stats=False):
     """MXU-grouped PixelNorm in the 2x4-packed layout (8 parity groups —
     the generalized ``packed_pixel_norm_mxu`` with n_groups=8)."""
     return packed_pixel_norm_mxu(x_p8, eps, f32_stats=f32_stats, n_groups=8)
+
+
+# ---- native 2x4 boundary kernels: pool+conv ------------------------------
+#
+# The W-repack between the 2x2 boundary kernels and a 2x4 block interior
+# is a retiling copy that measured as the #3 op in the lanes-128 step
+# (BASELINE.md); these variants compose the W-pack into the fused
+# pool+conv kernel itself so the >=packed8 region never changes layout.
+#
+# Derivation (W axis; H keeps fuse_pool2_conv3x3_weight's 4-tap stride-2
+# structure): the packed4-level fused kernel reads input packed4 columns
+# 2*c_out + tx - 1, tx in 0..3.  packed8 OUT (c_out = 2J + b2o): the
+# input column is 2*j8 + b2i with j8 = 2J + delta and
+# (delta, b2i) = divmod(2*b2o + tx - 1, 2), delta in {-1,0,1,2} — a 4-tap
+# stride-2 window over packed8 columns, pad 1 each side (the only
+# out-of-range packed4 columns referenced are -1 and m, both inside the
+# zero ring; -2 and m+1 are never read — exact, as for _PACK_W_T).
+# packed4 OUT (region exit): j8 = c_out + delta with
+# (delta, b2i) = divmod(tx - 1, 2), delta in {-1,0,1} — 3 taps STRIDE 1
+# along W (H stays stride 2), pad 1.
+
+
+def _pool_w8_transfer(out_packed8):
+    """Scatter tensor for W-packing the fused pool kernel's input (and,
+    if out_packed8, its output): t[delta+1, b2i, (b2o,) tx]."""
+    if out_packed8:
+        t = np.zeros((4, 2, 2, 4), np.float32)
+        for b2o in (0, 1):
+            for tx in range(4):
+                d, b2i = divmod(2 * b2o + tx - 1, 2)
+                t[d + 1, b2i, b2o, tx] = 1.0
+        return t
+    t = np.zeros((3, 2, 4), np.float32)
+    for tx in range(4):
+        d, b2i = divmod(tx - 1, 2)
+        t[d + 1, b2i, tx] = 1.0
+    return t
+
+
+_POOL_W8_T = _pool_w8_transfer(True)
+_POOL_W8_OUT4_T = _pool_w8_transfer(False)
+
+
+def fuse_pool2_conv3x3_weight_w8(w, scale=1.0):
+    """(3,3,Ci,Co) kernel -> (4,4,8Ci,8Co) fused pool+conv kernel for
+    packed8 input AND output (strides (2,2), padding (1,1))."""
+    k4 = fuse_pool2_conv3x3_weight(w, scale)
+    t = jnp.asarray(_POOL_W8_T, w.dtype)
+    ki, ko = k4.shape[2], k4.shape[3]
+    out = jnp.einsum('qcbt,ptio->pqcibo', t, k4,
+                     precision=lax.Precision.HIGHEST)  # exact scatter
+    return out.reshape(4, 4, 2 * ki, 2 * ko)
+
+
+def fuse_pool2_conv3x3_weight_w8_out4(w, scale=1.0):
+    """(3,3,Ci,Co) kernel -> (4,3,8Ci,4Co) fused pool+conv kernel for
+    packed8 input, packed4 output (strides (2,1), padding (1,1)) — the
+    packed8 region's exit boundary."""
+    k4 = fuse_pool2_conv3x3_weight(w, scale)
+    t = jnp.asarray(_POOL_W8_OUT4_T, w.dtype)
+    ki = k4.shape[2]
+    out = jnp.einsum('qct,ptio->pqcio', t, k4,
+                     precision=lax.Precision.HIGHEST)  # exact scatter
+    return out.reshape(4, 3, 2 * ki, k4.shape[3])
+
+
+def pool2_equalized_conv3x3_p8(x_p8, params, *, neg_slope=0.2,
+                               precision=None, out_packed8=True):
+    """The discriminator level boundary natively in the 2x4 layout.
+
+    ``x_p8`` is the packed8 rep of res R, (B, R/2, R/4, 8Ci); output is
+    the packed8 rep of res R/2, (B, R/4, R/8, 8Co) (out_packed8) or the
+    packed4 rep, (B, R/4, R/4, 4Co).  Float-equivalent to
+    pool2_equalized_conv3x3 on the repacked operands (tap-sum reorder
+    only, same class as the other fused kernels)."""
+    w = params['w']
+    scale = _eq_scale3x3(w, neg_slope)
+    if out_packed8:
+        wf = fuse_pool2_conv3x3_weight_w8(w, scale)
+        strides = (2, 2)
+    else:
+        wf = fuse_pool2_conv3x3_weight_w8_out4(w, scale)
+        strides = (2, 1)
+    y = lax.conv_general_dilated(
+        x_p8, wf.astype(x_p8.dtype), window_strides=strides,
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+    if 'b' in params:
+        y = y + jnp.tile(params['b'], 8 if out_packed8 else 4).astype(y.dtype)
+    return y

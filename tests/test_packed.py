@@ -534,3 +534,42 @@ def test_packed_lanes_mixed_smoke():
 def test_packed_lanes_validation():
     with pytest.raises(AssertionError):
         dataclasses.replace(CFG_L64, packed_lanes=96)
+
+
+def test_pool2_conv_p8_matches_p4():
+    """Native packed8 pool+conv == the packed4 fused kernel on repacked
+    operands, both output layouts (f32 highest)."""
+    rng = np.random.default_rng(40)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 6)).astype(np.float32))
+    p = {'w': jnp.asarray(
+             rng.standard_normal((3, 3, 6, 10)).astype(np.float32)),
+         'b': jnp.asarray(rng.standard_normal(10).astype(np.float32))}
+    x4 = pk.space_to_depth(x)
+    want4 = pk.pool2_equalized_conv3x3(x4, p, precision='highest')
+    x8 = pk.space_to_depth_w(x4)
+    got8 = pk.pool2_equalized_conv3x3_p8(x8, p, precision='highest',
+                                         out_packed8=True)
+    np.testing.assert_allclose(
+        np.asarray(pk.depth_to_space_w(got8)), np.asarray(want4),
+        rtol=1e-5, atol=1e-5)
+    got4 = pk.pool2_equalized_conv3x3_p8(x8, p, precision='highest',
+                                         out_packed8=False)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pool2_conv_p8_matches_decomposed():
+    """Native packed8 pool+conv == the fully decomposed original-domain
+    chain (avg-pool, s2d, conv) — catches compounding transform errors."""
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+    p = {'w': jnp.asarray(
+        rng.standard_normal((3, 3, 4, 4)).astype(np.float32))}
+    pooled = avg_pool(x, 2)
+    want = pk.space_to_depth(equalized_conv2d(
+        pooled, p, padding=1, precision='highest'))
+    x8 = pk.space_to_depth_w(pk.space_to_depth(x))
+    got = pk.depth_to_space_w(pk.pool2_equalized_conv3x3_p8(
+        x8, p, precision='highest'))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
