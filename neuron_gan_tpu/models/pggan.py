@@ -476,11 +476,26 @@ def _dis_head(y, params, cfg: PGConfig):
     return y.reshape(y.shape[0], -1)  # (B, 1): pure-conv critic score
 
 
+def _want_packed8_d(cfg: PGConfig, res: int, feat: int) -> bool:
+    """Enter/stay in the native 2x4 layout at this discriminator level?
+    Requires the fused pool boundary (the native packed8 pool+conv
+    kernels; the decomposed parity path has no packed8 forms), a
+    lane-deficient channel width (feat*4 < 128), and a resolution whose
+    packed8 width survives the stride-2 pool (res % 8 == 0)."""
+    return (cfg.packed_lanes == 128 and cfg.fused_pool
+            and _want_packed(cfg, res) and feat * 4 < 128
+            and res % 8 == 0)
+
+
 def _from_rgb_any(x_img, res: int, p, cfg: PGConfig):
-    """from_rgb at resolution ``res``; returns (y, packed)."""
+    """from_rgb at resolution ``res``; returns (y, packed) with packed in
+    {False, True (2x2 layout), 'p8' (native 2x4 layout)}."""
     if not _want_packed(cfg, res):
         return _from_rgb(x_img, p, cfg), False
     from neuron_gan_tpu.ops import packed as pk
+    if _want_packed8_d(cfg, res, p['w'].shape[3]):
+        return pk.packed8_conv1x1(pk.space_to_depth8(x_img), p,
+                                  precision=cfg.precision), 'p8'
     return pk.packed_conv1x1(pk.space_to_depth(x_img), p,
                              precision=cfg.precision), True
 
@@ -494,9 +509,29 @@ def _dis_block_any(y, packed_in: bool, i: int, entry_res: int, params,
     half = entry_res // 2
     packed_out = _want_packed(cfg, half)
 
+    # --- native 2x4 entry: the level boundary itself runs packed8 ---
+    in_p8 = packed_in == 'p8'
+    out_p8 = (in_p8 and cfg.fused_pool and packed_out
+              and _want_packed8_d(cfg, half, p['conv1']['w'].shape[3]))
+    if in_p8 and not (cfg.fused_pool and packed_out):
+        # no native boundary for this exit (unpacked half, or decomposed
+        # parity path): repack to 2x2 and use the 2x2 branches below
+        y = pk.depth_to_space_w(y)
+        packed_in, in_p8 = True, False
+
     # --- pool + conv1 (the only step where the fused / decomposed paths
     # differ; the lrelu+pixelnorm epilogue and conv2 tail are shared) ---
-    if packed_in and cfg.fused_pool:
+    if in_p8:
+        y = pk.pool2_equalized_conv3x3_p8(
+            y, p['conv1'], neg_slope=cfg.neg_slope,
+            precision=cfg.precision, out_packed8=out_p8)
+        if out_p8:
+            y = _packed8_lrelu_pn(y, cfg)
+            y = _packed8_conv_lrelu_pn(y, p['conv2'], cfg)
+            return y, 'p8'
+        # fell out of the packed8 region into the 2x2 layout: the shared
+        # conv2 tail below handles y (now a packed4 rep at half res)
+    elif packed_in and cfg.fused_pool:
         # one composed-kernel conv replaces avg-pool + (repack +) conv1:
         # removes the s2d retiling copy and the group-mean pass
         # (float-reordered vs the decomposed ops — ops/packed.py)
@@ -560,10 +595,9 @@ def discriminator_pg(params, x, cfg: PGConfig, phase: int, alpha=None):
     assert phase >= 1, 'fade-in requires phase >= 1'
     y_start, p_start = _from_rgb_any(avg_pool(x, 2), res // 2,
                                      params['from_rgb'][L - phase], cfg)
-    y_in, _ = _from_rgb_any(x, res, params['from_rgb'][L - 1 - phase], cfg)
-    # run the fading block on y_in (which is packed iff res >= thr)
-    y_end, p_end = _dis_block_any(y_in, _want_packed(cfg, res),
-                                  L - 1 - phase, res, params, cfg)
+    y_in, p_in = _from_rgb_any(x, res, params['from_rgb'][L - 1 - phase], cfg)
+    # run the fading block on y_in (packed/packed8 state from from_rgb)
+    y_end, p_end = _dis_block_any(y_in, p_in, L - 1 - phase, res, params, cfg)
     assert p_start == p_end  # both follow res//2 >= threshold
     y = fade_in(y_start, y_end, alpha)
     packed, r = p_end, res // 2

@@ -595,6 +595,42 @@ def packed8_pixel_norm_mxu(x_p8, eps=1e-8, f32_stats=False):
     return packed_pixel_norm_mxu(x_p8, eps, f32_stats=f32_stats, n_groups=8)
 
 
+def space_to_depth8(x):
+    """(B, H, W, C) -> (B, H/2, W/4, 8C) in one copy (channel order
+    (b2, a, b1, i) — s2dw(s2d(x)) without the intermediate)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 4, 2, 2, c)  # (p, a, q8, b2, b1, i)
+    x = x.transpose(0, 1, 3, 4, 2, 5, 6)          # (p, q8, b2, a, b1, i)
+    return x.reshape(b, h // 2, w // 4, 8 * c)
+
+
+def depth_to_space8(x):
+    """(B, H, W, 8C) -> (B, 2H, 4W, C), inverse of space_to_depth8."""
+    b, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, h, w, 2, 2, 2, c)            # (b2, a, b1, i)
+    x = x.transpose(0, 1, 4, 2, 3, 5, 6)          # (p, a, q8, b2, b1, i)
+    return x.reshape(b, 2 * h, 4 * w, c)
+
+
+def packed8_conv1x1(x_p8, params, *, precision=None):
+    """1x1 conv (to_rgb/from_rgb) per parity group in the 2x4 layout —
+    block-diagonal over the 8 groups (mirrors packed_conv1x1)."""
+    w = params['w']  # (1, 1, Ci, Co)
+    ci, co = w.shape[2], w.shape[3]
+    eye = jnp.asarray(np.eye(8, dtype=np.float32), w.dtype)
+    wb = jnp.einsum('gh,xyio->xygiho', eye, w,
+                    precision=lax.Precision.HIGHEST  # exact block-diag
+                    ).reshape(1, 1, 8 * ci, 8 * co)
+    y = lax.conv_general_dilated(
+        x_p8, wb.astype(x_p8.dtype), window_strides=(1, 1),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+    if 'b' in params:
+        y = y + jnp.tile(params['b'], 8).astype(y.dtype)
+    return y
+
+
 # ---- native 2x4 boundary kernels: pool+conv ------------------------------
 #
 # The W-repack between the 2x2 boundary kernels and a 2x4 block interior

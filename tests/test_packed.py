@@ -573,3 +573,70 @@ def test_pool2_conv_p8_matches_decomposed():
         x8, p, precision='highest'))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---- native packed8 discriminator region ---------------------------------
+
+CFG_L64F = dataclasses.replace(CFG_L64, fuse_pool_conv=True)
+CFG_L128F = dataclasses.replace(CFG_L128, fuse_pool_conv=True)
+
+
+def test_discriminator_native_p8_matches_packed4():
+    """Native 2x4 discriminator region (from_rgb8 -> p8 pool boundaries ->
+    p8 interiors -> fallback exit) == the 2x2 fused path (f32 highest)."""
+    d = init_discriminator_pg(jax.random.PRNGKey(50), CFG_L64)
+    for phase, alpha in [(2, None), (3, None), (3, 0.4)]:
+        res = CFG_L64.resolution(phase)
+        x = jax.random.normal(jax.random.PRNGKey(51), (2, res, res, 1))
+        want = np.asarray(discriminator_pg(d, x, CFG_L64F, phase, alpha))
+        got = np.asarray(discriminator_pg(d, x, CFG_L128F, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_discriminator_native_p8_matches_unpacked():
+    """Native 2x4 discriminator == the fully unpacked decomposed chain —
+    absolute correctness, not just layout-to-layout agreement."""
+    cfg_plain = dataclasses.replace(CFG_L64, packed_min_res=None)
+    d = init_discriminator_pg(jax.random.PRNGKey(52), CFG_L64)
+    for phase, alpha in [(3, None), (3, 0.4)]:
+        res = CFG_L64.resolution(phase)
+        x = jax.random.normal(jax.random.PRNGKey(53), (2, res, res, 1))
+        want = np.asarray(discriminator_pg(d, x, cfg_plain, phase, alpha))
+        got = np.asarray(discriminator_pg(d, x, CFG_L128F, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_discriminator_native_p8_gp_grads():
+    """GP-style double backward through the native p8 region: finite and
+    matching the 2x2 fused path."""
+    d = init_discriminator_pg(jax.random.PRNGKey(54), CFG_L64)
+    res = CFG_L64.resolution(3)
+    x = jax.random.normal(jax.random.PRNGKey(55), (2, res, res, 1))
+
+    def gp(cfg):
+        def score(v):
+            return discriminator_pg(d, v, cfg, 3, None).sum()
+        def norm(v):
+            g = jax.grad(score)(v)
+            return jnp.sum(jnp.square(g))
+        return jax.grad(norm)(x)
+
+    h4 = np.asarray(gp(CFG_L64F))
+    h8 = np.asarray(gp(CFG_L128F))
+    assert np.isfinite(h8).all()
+    np.testing.assert_allclose(h8, h4, rtol=5e-4, atol=5e-4)
+
+
+def test_discriminator_native_p8_mixed_smoke():
+    """bf16 mixed path (fused_pool auto-on): finite scores and grads."""
+    cfg = dataclasses.replace(CFG_L128, precision=None,
+                              compute_dtype='mixed')
+    d = init_discriminator_pg(jax.random.PRNGKey(56), cfg)
+    res = cfg.resolution(3)
+    x = jax.random.normal(jax.random.PRNGKey(57), (2, res, res, 1))
+    s = discriminator_pg(d, x, cfg, 3, None)
+    assert np.isfinite(np.asarray(s)).all()
+    g = jax.grad(lambda p: discriminator_pg(p, x, cfg, 3, None)
+                 .astype(jnp.float32).sum())(d)
+    gw = g['blocks'][0]['conv1']['w']
+    assert np.isfinite(np.asarray(gw)).all() and np.abs(gw).sum() > 0
