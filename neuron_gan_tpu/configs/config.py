@@ -179,14 +179,17 @@ donate_state = True          # Donate train-state buffers to jit (in-place updat
 profile_dir = ''             # If set, capture a jax.profiler trace of one
                              # steady-state training chunk into this directory
                              # (view with TensorBoard / xprof)
-swd_period = 0               # Every N epochs, score 64 generated samples
+swd_period = None            # Every N epochs, score 64 generated samples
                              # against the real set with multi-scale sliced
                              # Wasserstein distance (the PGGAN paper's
                              # metric; neuron_gan_tpu/metrics.py) at the
                              # current native resolution, append to
                              # logs_dir/SWD_<ID>.jsonl, and plot
-                             # plots_dir/SWD_<ID>.png.  0 disables (the
-                             # reference has no quality metric).
+                             # plots_dir/SWD_<ID>.png.  None (default)
+                             # follows checkpointing_period — one 64-sample
+                             # eval per checkpoint, noise next to a training
+                             # chunk; 0 disables (the reference has no
+                             # quality metric).
 
 ################################### END OF CONFIGURATION VARIABLES ###################################
 
@@ -279,6 +282,10 @@ def validate_configs(interactive=True):
         f'shear_warp must be True, False or "auto"; got {shear_warp!r}.'
     assert packed_lanes in (None, 64, 128), \
         f'packed_lanes must be None, 64 or 128; got {packed_lanes!r}.'
+    global swd_period
+    if swd_period is None:  # auto: quality curve at checkpoint cadence
+        swd_period = checkpointing_period
+    assert swd_period >= 0, 'swd_period must be >= 0 (0 disables).'
 
     if pggan:
         global transit_sch, transit_period

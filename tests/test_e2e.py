@@ -17,6 +17,7 @@ data_dir = r'{out_root}/data'
 images_dir = r'{out_root}/images'
 weights_dir = r'{out_root}/weights'
 plots_dir = r'{out_root}/plots'
+logs_dir = r'{out_root}/logs'
 dataset_dir = r'{dataset_dir}'
 samples_sub_dir = os.path.join(images_dir, ID)
 pggan = True
@@ -68,6 +69,10 @@ def test_train_eval_cli_roundtrip(tmp_path, monkeypatch, tiny_dataset_dir,
     assert weights.exists()
     assert (out_root / 'images' / 'e2e1' / 'Samples_e2e1_6.png').exists()
     assert (out_root / 'plots' / 'Training_summary_e2e1.png').exists()
+    # the SWD quality monitor is ON by default (swd_period=None follows
+    # checkpointing_period): a default run produces the series + curve
+    assert (out_root / 'logs' / 'SWD_e2e1.jsonl').exists()
+    assert (out_root / 'plots' / 'SWD_e2e1.png').exists()
 
     from neuron_gan_tpu.checkpoint import load_pytree_npz
     _, meta = load_pytree_npz(str(weights))
@@ -205,6 +210,7 @@ data_dir = r'{out_root}/data'
 images_dir = r'{out_root}/images'
 weights_dir = r'{out_root}/weights'
 plots_dir = r'{out_root}/plots'
+logs_dir = r'{out_root}/logs'
 dataset_dir = r'{tiny_dataset_dir}'
 samples_sub_dir = os.path.join(images_dir, ID)
 wgan = True

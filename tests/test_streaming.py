@@ -116,6 +116,7 @@ data_dir = r'{out_root}/data'
 images_dir = r'{out_root}/images'
 weights_dir = r'{out_root}/weights'
 plots_dir = r'{out_root}/plots'
+logs_dir = r'{out_root}/logs'
 dataset_dir = r'{ds_dir}'
 samples_sub_dir = os.path.join(images_dir, ID)
 pggan = True
