@@ -32,7 +32,7 @@ V5E_HBM_GBPS = 819  # TPU v5e peak HBM bandwidth (public spec), GB/s
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
               shear_warp='auto', compute_dtype='mixed', gp_reuse_fakes=True,
               pallas_epilogue=None, pallas_conv=None, unroll=1,
-              packed_lanes=None, roofline=None):
+              packed_lanes=None, gp_remat=False, roofline=None):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -65,7 +65,8 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
     n_images = 16
     spec = flagship_chunk_spec(
         phase, fading=fading, fast_augment=fast_augment,
-        shear_warp=shear_warp, gp_reuse_fakes=gp_reuse_fakes)
+        shear_warp=shear_warp, gp_reuse_fakes=gp_reuse_fakes,
+        gp_remat=gp_remat)
 
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     g = init_generator_pg(kg, cfg)
@@ -483,6 +484,7 @@ if __name__ == '__main__':
                                    else None),
                       packed_lanes=(128 if '--lanes-128' in sys.argv
                                     else None),
+                      gp_remat=('--remat-gp' in sys.argv),
                       unroll=unroll, roofline=roofline)
     baseline = TORCH_REF_STEPS_PER_SEC
     vs = (value / baseline) if baseline else None
@@ -502,6 +504,7 @@ if __name__ == '__main__':
     for flag, key in (('--pallas-conv', 'pallas_conv'),
                       ('--pallas-epilogue', 'pallas_epilogue'),
                       ('--lanes-128', 'packed_lanes_128'),
+                      ('--remat-gp', 'gp_remat'),
                       ('--no-shear', 'no_shear')):
         if flag in sys.argv:
             record['metric'] += '_' + key

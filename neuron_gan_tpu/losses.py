@@ -56,19 +56,26 @@ def g_w_loss(g_apply, d_apply, g_params, d_params, z):
 
 
 def d_grad_pen_loss(d_apply, d_params, real_images, fake_images, epsilon,
-                    gp_lambda):
+                    gp_lambda, remat=False):
     """Gradient penalty on interpolates.
 
     ``epsilon`` is a (B,) or (B,1,1,1) uniform sample; ``fake_images`` should
     already be detached from the generator (the caller stop_gradients them,
     mirroring reference loss_functions.py:167).
+
+    ``remat`` wraps the critic forward in ``jax.checkpoint`` so the outer
+    (double-)backward recomputes D(x_hat)'s activations instead of keeping
+    them live — float-identical math, memory/bandwidth vs FLOPs trade.
     """
     if gp_lambda <= 0:
         return jnp.zeros((), real_images.dtype)
     eps = epsilon.reshape(epsilon.shape[0], 1, 1, 1).astype(real_images.dtype)
     x_hat = eps * real_images + (1.0 - eps) * fake_images
 
-    grad = jax.grad(lambda xh: jnp.sum(d_apply(d_params, xh)))(x_hat)
+    score = lambda xh: jnp.sum(d_apply(d_params, xh))
+    if remat:
+        score = jax.checkpoint(score)
+    grad = jax.grad(score)(x_hat)
     grad = grad.astype(jnp.float32)  # f32 accumulation for the norm reduction
     norms = jnp.sqrt(jnp.sum(jnp.square(grad), axis=(1, 2, 3)))
     return gp_lambda * jnp.mean(jnp.square(norms - 1.0))

@@ -392,9 +392,21 @@ def _packed8_conv_lrelu_pn(x, p, cfg: PGConfig):
                                      precision=cfg.precision), cfg)
 
 
-def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
-    """Run generator block i; returns (x, packed_out).  Block i's convs run
-    at out_res = resolution(i+1); packed iff out_res >= packed_min_res."""
+def _want_packed8_g(cfg: PGConfig, out_res: int, feat: int) -> bool:
+    """Enter the native 2x4 layout at this generator level boundary?
+    Requires the fused up-conv (the native packed8 boundary kernel; the
+    decomposed parity path keeps the 2x2 sandwich), a lane-deficient
+    channel width (feat*4 < 128), and a resolution whose packed8 width is
+    even (out_res % 8 == 0) — mirrors _want_packed8_d."""
+    return (cfg.packed_lanes == 128 and cfg.fused_up2
+            and _want_packed(cfg, out_res) and feat * 4 < 128
+            and out_res % 8 == 0)
+
+
+def _gen_block_any(x, packed_in, i: int, params, cfg: PGConfig):
+    """Run generator block i; returns (x, packed_out) with packed_out in
+    {False, True (2x2 layout), 'p8' (native 2x4 layout)}.  Block i's convs
+    run at out_res = resolution(i+1); packed iff out_res >= packed_min_res."""
     from neuron_gan_tpu.ops import packed as pk
     out_res = cfg.resolution(i + 1)
     p = params['blocks'][i]
@@ -404,11 +416,26 @@ def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
     if cfg.fused_up2 and 'b' not in p['conv1']:
         # one composed-kernel conv replaces upsample + conv1 (4x fewer MACs,
         # no interleave chain; float-reordered vs the decomposed ops)
-        if packed_in:
+        if packed_in == 'p8':
+            x = pk.depth_to_space8(x)
+        elif packed_in:
             x = pk.depth_to_space(x)
+        if _want_packed8_g(cfg, out_res, p['conv1']['w'].shape[3]):
+            # native 2x4 boundary: the fused up-conv emits packed8
+            # directly, so the whole level lives full-lane with zero
+            # W-repacks (the #3 op of the sandwich routing's step trace)
+            x = pk.up2_equalized_conv3x3_p8(x, p['conv1'],
+                                            neg_slope=cfg.neg_slope,
+                                            precision=cfg.precision)
+            x = _packed8_lrelu_pn(x, cfg)
+            x = _packed8_conv_lrelu_pn(x, p['conv2'], cfg)
+            return x, 'p8'
         x = pk.up2_equalized_conv3x3(x, p['conv1'], neg_slope=cfg.neg_slope,
                                      precision=cfg.precision)
     else:
+        if packed_in == 'p8':  # decomposed path has no packed8 forms
+            x = pk.depth_to_space_w(x)
+            packed_in = True
         if packed_in:
             x = pk.packed_upsample2_bilinear(x)
         else:
@@ -425,10 +452,15 @@ def _gen_block_any(x, packed_in: bool, i: int, params, cfg: PGConfig):
     return x, True
 
 
-def _to_rgb_any(x, packed: bool, p, cfg: PGConfig):
+def _to_rgb_any(x, packed, p, cfg: PGConfig):
     if not packed:
         return _to_rgb(x, p, cfg)
     from neuron_gan_tpu.ops import packed as pk
+    if packed == 'p8':
+        y = pk.packed8_conv1x1(x, p, precision=cfg.precision)
+        if cfg.mixed:
+            y = y.astype(jnp.float32)
+        return pk.depth_to_space8(jnp.tanh(y))
     y = pk.packed_conv1x1(x, p, precision=cfg.precision)
     if cfg.mixed:
         y = y.astype(jnp.float32)

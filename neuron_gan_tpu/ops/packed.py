@@ -305,6 +305,46 @@ def _conv_valid(x, w, precision):
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
 
 
+def _up2_row_band(x, n, w_s, precision, top):
+    """Exact conv output for the first (p=0, J=0) or last (p=1, J=n-1)
+    output row of the fused up-conv — where the conv's zero-padding of the
+    upsampled frame applies.  u rows 0..1 (top) or 2n-2..2n-1 (bottom)
+    from thin slices: H taps first, then the full-width W upsample (the
+    decomposed op order, so float expressions match exactly)."""
+    from neuron_gan_tpu.ops.resize import _up2_1d
+    x2 = x[:, 0:2] if top else x[:, n - 2:n]
+    r0, r1 = x2[:, 0:1], x2[:, 1:2]
+    if top:
+        uh = jnp.concatenate([0.25 * r0 + 0.75 * r0,
+                              0.75 * r0 + 0.25 * r1], axis=1)
+    else:
+        uh = jnp.concatenate([0.25 * r0 + 0.75 * r1,
+                              0.75 * r1 + 0.25 * r1], axis=1)
+    u = _up2_1d(uh, 2)  # (B, 2, 2n, Ci)
+    # conv row band: zero row beyond the border, zero cols (conv pad)
+    rows = (1, 0) if top else (0, 1)  # zero row beyond the border
+    up = jnp.pad(u, ((0, 0), rows, (1, 1), (0, 0)))
+    return _conv_valid(up, w_s, precision)  # (B, 1, 2n, Co)
+
+
+def _up2_col_band(x, n, w_s, precision, left):
+    """Exact conv output for the first (q=0, K=0) or last (q=1, K=n-1)
+    output column of the fused up-conv (mirrors _up2_row_band)."""
+    from neuron_gan_tpu.ops.resize import _up2_1d
+    xc = x[:, :, 0:2] if left else x[:, :, n - 2:n]
+    uh = _up2_1d(xc, 1)  # (B, 2n, 2, Ci) — H first, as decomposed
+    c0, c1 = uh[:, :, 0:1], uh[:, :, 1:2]
+    if left:
+        u = jnp.concatenate([0.25 * c0 + 0.75 * c0,
+                             0.75 * c0 + 0.25 * c1], axis=2)
+    else:
+        u = jnp.concatenate([0.25 * c0 + 0.75 * c1,
+                             0.75 * c1 + 0.25 * c1], axis=2)
+    cols = (1, 0) if left else (0, 1)
+    up = jnp.pad(u, ((0, 0), (1, 1), cols, (0, 0)))
+    return _conv_valid(up, w_s, precision)  # (B, 2n, 1, Co)
+
+
 def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
     """s2d(conv3x3_zero-pad(up2_bilinear(x))) * eq_scale as one fused conv.
 
@@ -328,38 +368,12 @@ def up2_equalized_conv3x3(x, params, *, neg_slope=0.2, precision=None):
 
     # ---- exact border bands (u rows/cols 0,1 and 2n-2,2n-1 from thin
     # slices, same float expressions as the decomposed ops) ----
-    from neuron_gan_tpu.ops.resize import _up2_1d
 
     def row_band(top):
-        # u rows 0..1 (top) or 2n-2..2n-1 (bottom), exact: H taps first,
-        # then the full-width W upsample (the decomposed order)
-        x2 = x[:, 0:2] if top else x[:, n - 2:n]
-        r0, r1 = x2[:, 0:1], x2[:, 1:2]
-        if top:
-            uh = jnp.concatenate([0.25 * r0 + 0.75 * r0,
-                                  0.75 * r0 + 0.25 * r1], axis=1)
-        else:
-            uh = jnp.concatenate([0.25 * r0 + 0.75 * r1,
-                                  0.75 * r1 + 0.25 * r1], axis=1)
-        u = _up2_1d(uh, 2)  # (B, 2, 2n, Ci)
-        # conv row band: zero row beyond the border, zero cols (conv pad)
-        rows = (1, 0) if top else (0, 1)  # zero row beyond the border
-        up = jnp.pad(u, ((0, 0), rows, (1, 1), (0, 0)))
-        return _conv_valid(up, w_s, precision)  # (B, 1, 2n, Co)
+        return _up2_row_band(x, n, w_s, precision, top)
 
     def col_band(left):
-        xc = x[:, :, 0:2] if left else x[:, :, n - 2:n]
-        uh = _up2_1d(xc, 1)  # (B, 2n, 2, Ci) — H first, as decomposed
-        c0, c1 = uh[:, :, 0:1], uh[:, :, 1:2]
-        if left:
-            u = jnp.concatenate([0.25 * c0 + 0.75 * c0,
-                                 0.75 * c0 + 0.25 * c1], axis=2)
-        else:
-            u = jnp.concatenate([0.25 * c0 + 0.75 * c1,
-                                 0.75 * c1 + 0.25 * c1], axis=2)
-        cols = (1, 0) if left else (0, 1)
-        up = jnp.pad(u, ((0, 0), (1, 1), cols, (0, 0)))
-        return _conv_valid(up, w_s, precision)  # (B, 2n, 1, Co)
+        return _up2_col_band(x, n, w_s, precision, left)
 
     # Write the bands as masked selects on the FLAT (b,n,n,4Co) conv output
     # — channel index is (p*2+q)*co+o, so each (parity, border) band is a
@@ -693,6 +707,115 @@ def fuse_pool2_conv3x3_weight_w8_out4(w, scale=1.0):
     out = jnp.einsum('qct,ptio->pqcio', t, k4,
                      precision=lax.Precision.HIGHEST)  # exact scatter
     return out.reshape(4, 3, 2 * ki, k4.shape[3])
+
+
+# ---- native 2x4 boundary kernel: upsample+conv (generator side) ----------
+#
+# The generator's level boundary inside the 2x4 region:
+# ``s2dw(up2_equalized_conv3x3(x))`` as ONE conv, so the packed8 block
+# interior receives its layout natively — no W-repack retiling copy (the
+# #3 op of the lanes-128 step trace, BASELINE.md).
+#
+# Derivation (W axis; H keeps the fused up-conv's 3-tap stride-1
+# structure): the packed4 fused kernel's output column K reads edge-padded
+# input columns K + dx, dx in {-1,0,1}.  The packed8 output column
+# (K8, b2) is packed4 column K = 2*K8 + b2, so it reads input columns
+# 2*K8 + b2 + dx = 2*K8 + (tx - 1) with tx = b2 + dx + 1 in {0..3}: a
+# 4-tap STRIDE-2 window over the SAME edge-padded input (width n+2; the
+# last window starts at 2*(n/2-1) and ends at n+1 — in range, VALID).
+# Each (b2, dx) maps to exactly one tx — a collision-free scatter, so
+#
+#   K8f[ty, tx, i, b2*4Co + c4] = Wf[ty, tx-1-b2, i, c4]  (0 <= tx-1-b2 <= 2)
+#
+# The border-band correction is the packed4 one reindexed: the thin row
+# bands split into (K8, b2) by a stride-2 slice, and each packed4
+# (row/col, parity) channel range maps into the b2-major packed8 order.
+
+_UP2_W8_T = np.zeros((4, 2, 3), np.float32)  # [tx, b2, dx+1]
+for _b2 in (0, 1):
+    for _dx in (-1, 0, 1):
+        _UP2_W8_T[_b2 + _dx + 1, _b2, _dx + 1] = 1.0
+
+
+def fuse_up2_conv3x3_weight_w8(w, scale=1.0):
+    """(3,3,Ci,Co) kernel -> (3,4,Ci,8Co) fused upsample+conv kernel
+    emitting the packed8 layout (H stride 1 / W stride 2 over the
+    edge-padded input)."""
+    wf = fuse_up2_conv3x3_weight(w, scale)          # (3,3,Ci,4Co)
+    t = jnp.asarray(_UP2_W8_T, w.dtype)
+    out = jnp.einsum('qbt,ptio->pqibo', t, wf,
+                     precision=lax.Precision.HIGHEST)  # exact scatter
+    ci, co4 = wf.shape[2], wf.shape[3]
+    return out.reshape(3, 4, ci, 2 * co4)
+
+
+def up2_equalized_conv3x3_p8(x, params, *, neg_slope=0.2, precision=None):
+    """``s2dw(up2_equalized_conv3x3(x))`` as one conv — the generator's
+    level boundary emitting the full-lane 2x4 layout natively.
+
+    ``x`` is UNPACKED (B, n, n, Ci); output is the packed8 rep of res 2n,
+    (B, n, n/2, 8Co).  Float-equivalent to ``up2_equalized_conv3x3`` (the
+    strided kernel zero-fills the out-of-window taps; tap-sum order only —
+    same deviation class as the other fused kernels); the border bands use
+    the IDENTICAL float expressions (_up2_row_band/_up2_col_band)."""
+    w = params['w']
+    assert 'b' not in params, 'fused up2-conv supports bias-free blocks only'
+    assert x.shape[1] == x.shape[2], \
+        f'fused up2-conv requires square input, got {x.shape}'
+    n = x.shape[1]
+    assert n % 2 == 0, f'packed8 output needs an even input size, got {n}'
+    co = w.shape[3]
+    scale = _eq_scale3x3(w, neg_slope)
+    w_s = w * jnp.asarray(scale, w.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    y = lax.conv_general_dilated(
+        xp, fuse_up2_conv3x3_weight_w8(w, scale).astype(x.dtype),
+        window_strides=(1, 2), padding=[(0, 0), (0, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+
+    b = x.shape[0]
+    m = n // 2
+    top = _up2_row_band(x, n, w_s, precision, True).reshape(b, 1, n, 2 * co)
+    bot = _up2_row_band(x, n, w_s, precision, False).reshape(b, 1, n, 2 * co)
+    lf = _up2_col_band(x, n, w_s, precision, True).reshape(b, n, 2, co)
+    rt = _up2_col_band(x, n, w_s, precision, False).reshape(b, n, 2, co)
+
+    row = jnp.arange(n).reshape(1, n, 1, 1)
+    col = jnp.arange(m).reshape(1, 1, m, 1)
+    ch = jnp.arange(8 * co).reshape(1, 1, 1, 8 * co)
+
+    def pad_to_full(band, rows, cols, chans):
+        return jnp.pad(band, ((0, 0), rows, cols, chans))
+
+    # Row bands: J=0 carries the p=0 channels (b2*4co + [0, 2co)), J=n-1
+    # the p=1 channels (b2*4co + [2co, 4co)); the band's K axis splits
+    # into (K8, b2) by a stride-2 slice (thin band — cheap).  Same select
+    # semantics as the packed4 version: columns claim the corners last.
+    for b2 in (0, 1):
+        off = b2 * 4 * co
+        y = jnp.where((row == 0) & (off <= ch) & (ch < off + 2 * co),
+                      pad_to_full(top[:, :, b2::2, :], (0, n - 1), (0, 0),
+                                  (off, 8 * co - off - 2 * co)), y)
+        y = jnp.where((row == n - 1) & (off + 2 * co <= ch)
+                      & (ch < off + 4 * co),
+                      pad_to_full(bot[:, :, b2::2, :], (n - 1, 0), (0, 0),
+                                  (off + 2 * co, 8 * co - off - 4 * co)), y)
+    # Column bands: original K=0 is (K8=0, b2=0), q=0 -> p=0 at [0,co),
+    # p=1 at [2co,3co); original K=n-1 is (K8=m-1, b2=1), q=1 -> p=0 at
+    # 4co+[co,2co) = [5co,6co), p=1 at 4co+[3co,4co) = [7co,8co).
+    y = jnp.where((col == 0) & (ch < co),
+                  pad_to_full(lf[:, :, 0:1, :], (0, 0), (0, m - 1),
+                              (0, 7 * co)), y)
+    y = jnp.where((col == 0) & (2 * co <= ch) & (ch < 3 * co),
+                  pad_to_full(lf[:, :, 1:2, :], (0, 0), (0, m - 1),
+                              (2 * co, 5 * co)), y)
+    y = jnp.where((col == m - 1) & (5 * co <= ch) & (ch < 6 * co),
+                  pad_to_full(rt[:, :, 0:1, :], (0, 0), (m - 1, 0),
+                              (5 * co, 2 * co)), y)
+    y = jnp.where((col == m - 1) & (ch >= 7 * co),
+                  pad_to_full(rt[:, :, 1:2, :], (0, 0), (m - 1, 0),
+                              (7 * co, 0)), y)
+    return y
 
 
 def pool2_equalized_conv3x3_p8(x_p8, params, *, neg_slope=0.2,

@@ -157,6 +157,14 @@ class ChunkSpec:
     # CSE then computes G(z1) once, saving a full generator forward per
     # critic step.  config.gp_reuse_fakes
     gp_reuse_fakes: bool = False
+    # Rematerialize the discriminator forward inside the gradient-penalty
+    # inner grad (jax.checkpoint): the GP double-backward then recomputes
+    # D(x_hat)'s activations during the outer backward instead of keeping
+    # them live across the whole critic step — trades conv FLOPs for saved-
+    # activation HBM traffic (the double-bwd conv pieces are ~4.9 ms/step,
+    # BASELINE.md round-3 op trace).  Float-identical math (remat replays
+    # the same ops), so no quality gate applies.
+    gp_remat: bool = False
 
     @property
     def n_full_batches(self):
@@ -268,7 +276,7 @@ def make_batch_step(cfg: PGConfig, spec: ChunkSpec):
             if spec.gp_lambda > 0:
                 fake = jax.lax.stop_gradient(g_apply(g_params, z2))
                 gp = d_grad_pen_loss(d_apply, d_params_, images, fake, eps,
-                                     spec.gp_lambda)
+                                     spec.gp_lambda, remat=spec.gp_remat)
             else:
                 gp = jnp.zeros((), images.dtype)
             return loss_w + gp, (sr, sf, gp)

@@ -161,3 +161,25 @@ def test_ls_losses(setup):
     want_g = ((scores_f - 1) ** 2).mean()
     assert float(dl) == pytest.approx(want_d.item(), rel=1e-4, abs=1e-5)
     assert float(gl) == pytest.approx(want_g.item(), rel=1e-4, abs=1e-5)
+
+
+def test_grad_penalty_remat_matches(setup):
+    """gp_remat rematerializes D(x_hat) in the double-backward — the math
+    is a replay of the same ops, so value AND d(GP)/d(d_params) must match
+    the non-remat path to float-reorder tolerance."""
+    g, d, real, z, eps = setup
+    fake = np.asarray(g_apply(g, jnp.asarray(z)))
+
+    def gp(dp, remat):
+        return d_grad_pen_loss(d_apply, dp, jnp.asarray(real),
+                               jnp.asarray(fake), jnp.asarray(eps),
+                               10.0, remat=remat)
+
+    assert float(gp(d, True)) == pytest.approx(float(gp(d, False)),
+                                               rel=1e-6, abs=1e-7)
+    want = jax.grad(lambda dp: gp(dp, False))(d)
+    got = jax.grad(lambda dp: gp(dp, True))(d)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

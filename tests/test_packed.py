@@ -640,3 +640,99 @@ def test_discriminator_native_p8_mixed_smoke():
                  .astype(jnp.float32).sum())(d)
     gw = g['blocks'][0]['conv1']['w']
     assert np.isfinite(np.asarray(gw)).all() and np.abs(gw).sum() > 0
+
+
+# ---- native packed8 generator region -------------------------------------
+
+CFG_L64U = dataclasses.replace(CFG_L64, fuse_up2_conv=True)
+CFG_L128U = dataclasses.replace(CFG_L128, fuse_up2_conv=True)
+
+
+def test_up2_conv_p8_matches_p4():
+    """Native packed8 up-conv == the W-repacked packed4 fused up-conv
+    (identical border-band expressions; interior is the same conv with a
+    W-scattered kernel) across geometries."""
+    rng = np.random.default_rng(60)
+    for n, ci, co in [(4, 3, 5), (8, 5, 7), (6, 2, 4)]:
+        x = jnp.asarray(
+            rng.standard_normal((2, n, n, ci)).astype(np.float32))
+        p = {'w': jnp.asarray(
+            rng.standard_normal((3, 3, ci, co)).astype(np.float32))}
+        want = pk.space_to_depth_w(
+            pk.up2_equalized_conv3x3(x, p, precision='highest'))
+        got = pk.up2_equalized_conv3x3_p8(x, p, precision='highest')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_up2_conv_p8_matches_decomposed():
+    """Native packed8 up-conv == the fully decomposed original-domain
+    chain (up2, conv, s2d, s2dw) — catches compounding transform errors."""
+    from neuron_gan_tpu.ops import upsample2_bilinear
+    rng = np.random.default_rng(61)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    p = {'w': jnp.asarray(
+        rng.standard_normal((3, 3, 4, 6)).astype(np.float32))}
+    want = pk.space_to_depth_w(pk.space_to_depth(equalized_conv2d(
+        upsample2_bilinear(x), p, padding=1, precision='highest')))
+    got = pk.up2_equalized_conv3x3_p8(x, p, precision='highest')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_generator_native_p8_matches_packed4():
+    """Native 2x4 generator region (up-conv8 boundaries -> p8 interiors ->
+    p8 to_rgb) == the 2x2 fused path (f32 highest)."""
+    g = init_generator_pg(jax.random.PRNGKey(62), CFG_L64)
+    z = jax.random.normal(jax.random.PRNGKey(63), (2, CFG_L64.latent_dim))
+    for phase, alpha in [(2, None), (3, None), (3, 0.4)]:
+        want = np.asarray(generator_pg(g, z, CFG_L64U, phase, alpha))
+        got = np.asarray(generator_pg(g, z, CFG_L128U, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_generator_native_p8_matches_unpacked():
+    """Native 2x4 generator == the fully unpacked decomposed chain —
+    absolute correctness, not just layout-to-layout agreement."""
+    cfg_plain = dataclasses.replace(CFG_L64, packed_min_res=None)
+    g = init_generator_pg(jax.random.PRNGKey(64), CFG_L64)
+    z = jax.random.normal(jax.random.PRNGKey(65), (2, CFG_L64.latent_dim))
+    for phase, alpha in [(3, None), (3, 0.4)]:
+        want = np.asarray(generator_pg(g, z, cfg_plain, phase, alpha))
+        got = np.asarray(generator_pg(g, z, CFG_L128U, phase, alpha))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_generator_native_p8_grads():
+    """Parameter gradients through the native p8 region match the 2x2
+    fused path (the boundary kernel's adjoint is exercised end to end)."""
+    g = init_generator_pg(jax.random.PRNGKey(66), CFG_L64)
+    z = jax.random.normal(jax.random.PRNGKey(67), (2, CFG_L64.latent_dim))
+
+    def loss(cfg):
+        return jax.grad(
+            lambda p: jnp.sum(jnp.square(generator_pg(p, z, cfg, 3, None))))(g)
+
+    g4 = loss(CFG_L64U)
+    g8 = loss(CFG_L128U)
+    flat4 = jax.tree_util.tree_leaves(g4)
+    flat8 = jax.tree_util.tree_leaves(g8)
+    for a, b in zip(flat4, flat8):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_generator_native_p8_mixed_smoke():
+    """bf16 mixed path through the native p8 boundary (fused_up2 auto-on):
+    finite image, grads flow to the original-format weights."""
+    cfg = dataclasses.replace(CFG_L128, precision=None,
+                              compute_dtype='mixed')
+    g = init_generator_pg(jax.random.PRNGKey(68), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(69), (2, cfg.latent_dim))
+    y = generator_pg(g, z, cfg, 3, None)
+    assert y.dtype == jnp.float32 and np.isfinite(np.asarray(y)).all()
+    grads = jax.grad(lambda p: generator_pg(p, z, cfg, 3, None)
+                     .astype(jnp.float32).sum())(g)
+    gw = grads['blocks'][2]['conv1']['w']
+    assert np.isfinite(np.asarray(gw)).all() and np.abs(gw).sum() > 0

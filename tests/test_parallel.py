@@ -214,3 +214,29 @@ def test_mixed_dtype_data_parallel_runs_and_tracks_single_device():
         # atol covers Adam's sign-amplification of bf16 tiling noise on
         # near-zero-gradient coordinates (a few lr-sized flips per epoch)
         np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_packed8_data_model_parallel_matches_single_device():
+    """The full-lane 2x4 region (packed_lanes=128: native p8 from_rgb /
+    up-conv / pool-conv boundaries and p8 block interiors) under dp x tp
+    must match single-device.  The packed8 weight scatters multiply
+    channel counts by 8, so the model-axis channel sharding meeting the
+    (3,4,Ci,8Co)/(4,4,8Ci,8Co) boundary kernels is exactly the
+    combination that could silently insert gathers or mis-shard — the
+    packed8 analogue of the fused dp x tp test above (VERDICT r3 #4).
+    One epoch; same tolerances as the packed f32 tests."""
+    cfg_p8 = dataclasses.replace(PACKED_CFG, precision=None,
+                                 packed_lanes=128)
+    assert cfg_p8.fused_up2 and cfg_p8.fused_pool
+    s1, st1 = run(None, n_epochs=1, cfg=cfg_p8, base=PACKED_BASE,
+                  image_hw=96)
+    s2, st2 = run({'data': 2, 'model': 2}, n_epochs=1, cfg=cfg_p8,
+                  base=PACKED_BASE, image_hw=96)
+    np.testing.assert_allclose(st1, st2, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1['g_params']),
+                    jax.tree.leaves(s2['g_params'])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1['d_params']),
+                    jax.tree.leaves(s2['d_params'])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
