@@ -87,7 +87,7 @@ def build_dataset_dir(path, res, seed=0, n=16):
 
 def run_arm(precision_name, dataset, args, out_dir, fast_augment=False,
             tag=None, compute_dtype='float32', gp_reuse_fakes=False,
-            shear_warp=False):
+            shear_warp=False, packed_lanes=None):
     import jax
     import jax.numpy as jnp
     from neuron_gan_tpu.models import (
@@ -103,7 +103,8 @@ def run_arm(precision_name, dataset, args, out_dir, fast_augment=False,
     cfg = PGConfig(
         n_gen_features=(64, 32, 16, 16), n_dis_features=(16, 16, 32, 64),
         latent_dim=64, image_size_init=16, precision=precision,
-        packed_min_res=64, compute_dtype=compute_dtype)
+        packed_min_res=64, compute_dtype=compute_dtype,
+        packed_lanes=packed_lanes)
     # checkpointing_period = full run: no artifact boundaries, so chunks are
     # cut only by transitions/fade-ends — 7 executables for the whole run
     sched = TrainSchedule(transit_sch=tuple(args.transits),
