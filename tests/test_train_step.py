@@ -315,3 +315,20 @@ def test_unrolled_batch_scan_matches_rolled(images_stack):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6),
         s_r, s_u)
+
+
+def test_gp_remat_matches_default(images_stack):
+    """gp_remat replays the same GP math under jax.checkpoint — the one-
+    epoch trajectory must match the non-remat step to float tolerance
+    (remat changes scheduling, not values)."""
+    run_base = make_epoch_runner(CFG, make_spec(), n_epochs=1, donate=False)
+    run_remat = make_epoch_runner(CFG, make_spec(gp_remat=True), n_epochs=1,
+                                  donate=False)
+    s1, st1 = run_base(make_state(), images_stack, jax.random.PRNGKey(9), 1)
+    s2, st2 = run_remat(make_state(), images_stack, jax.random.PRNGKey(9), 1)
+    np.testing.assert_allclose(np.asarray(st2), np.asarray(st1),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1['d_params']),
+                    jax.tree.leaves(s2['d_params'])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
