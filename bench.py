@@ -32,7 +32,7 @@ V5E_HBM_GBPS = 819  # TPU v5e peak HBM bandwidth (public spec), GB/s
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
               shear_warp='auto', compute_dtype='mixed', gp_reuse_fakes=True,
               pallas_epilogue=None, pallas_conv=None, unroll=1,
-              packed_lanes=None, gp_remat=False, roofline=None):
+              packed_lanes=128, gp_remat=False, roofline=None):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -249,7 +249,8 @@ def bench_eval(n_images=20, n_iters=20, fast=False):
         n_gen_features=(128, 64, 32, 32, 16, 16),
         n_dis_features=(16, 16, 32, 32, 64, 128),
         latent_dim=64, image_size_init=16, n_colors=1,
-        **({'precision': None, 'packed_min_res': 64} if fast else {}),
+        **({'precision': None, 'packed_min_res': 64, 'packed_lanes': 128}
+           if fast else {}),
     )
     params = init_generator_pg(jax.random.PRNGKey(0), cfg)
 
@@ -482,8 +483,8 @@ if __name__ == '__main__':
                                        in sys.argv else None),
                       pallas_conv=(True if '--pallas-conv' in sys.argv
                                    else None),
-                      packed_lanes=(128 if '--lanes-128' in sys.argv
-                                    else None),
+                      packed_lanes=(None if '--lanes-64' in sys.argv
+                                    else 128),
                       gp_remat=('--remat-gp' in sys.argv),
                       unroll=unroll, roofline=roofline)
     baseline = TORCH_REF_STEPS_PER_SEC
@@ -503,7 +504,7 @@ if __name__ == '__main__':
         record['unroll'] = unroll
     for flag, key in (('--pallas-conv', 'pallas_conv'),
                       ('--pallas-epilogue', 'pallas_epilogue'),
-                      ('--lanes-128', 'packed_lanes_128'),
+                      ('--lanes-64', 'packed_lanes_64'),
                       ('--remat-gp', 'gp_remat'),
                       ('--no-shear', 'no_shear')):
         if flag in sys.argv:

@@ -57,7 +57,7 @@ if weights_filepath.endswith('.pth'):
     if options.fast:
         import dataclasses
         model_cfg = dataclasses.replace(
-            model_cfg, precision=None,
+            model_cfg, precision=None, packed_lanes=128,
             packed_min_res=max(64, 2 * model_cfg.image_size_init))
 else:
     from neuron_gan_tpu.checkpoint import load_pytree_npz
@@ -85,7 +85,8 @@ else:
         # then-only defaults, so falling back is exact for them
         n_colors=int(meta.get('N_colors', 1)),
         neg_slope=float(meta.get('LeakyReLU_leak', 0.2)),
-        **({'precision': None, 'packed_min_res': max(64, 2 * init)}
+        **({'precision': None, 'packed_lanes': 128,
+            'packed_min_res': max(64, 2 * init)}
            if options.fast else {}),
     )
     growth = GrowthState(model_cfg)

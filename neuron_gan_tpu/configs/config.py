@@ -113,13 +113,14 @@ packed_min_res = 64          # Space-to-depth packed conv threshold: layers at
                              # >= this resolution run 2x2-packed (exact
                              # transform, 2.4x step speedup at 512^2 — see
                              # ops/packed.py). None disables.
-packed_lanes = None          # Lift 64-channel packed block convs to the
-                             # full-lane 2x4 layout (128 channels): ~1.3x
-                             # faster fwd+bwd on the same activation bytes
-                             # (tools/lane_bench.py --chain; BASELINE.md
-                             # "full-lane 2x4 packing").  128 enables;
-                             # 64/None keeps the 2x2 layout (None = auto,
-                             # off pending the end-to-end promotion study).
+packed_lanes = 128           # Lift 64-channel packed block convs to the
+                             # full-lane 2x4 layout (128 channels) with
+                             # native packed8 boundary kernels: +15.3%
+                             # at 512^2 (29.6 vs 25.7 steps/s; BASELINE.md
+                             # "native 2x4 boundary kernels"), promoted by
+                             # the 6-seed stacked SWD study
+                             # (logs/lanes_ab_r4.jsonl).  None/64 restores
+                             # the 2x2 layout.
 fast_augment = True          # Run the augmentation warp at phase resolution
                              # (resize moved to the front of the pipeline)
                              # instead of the reference's full-padded-res

@@ -1,10 +1,11 @@
 """Maximum-throughput training preset: config_ex plus every measured
 speed knob pinned explicitly (BASELINE.md).
 
-As of the round-2 6-seed SWD promotion studies, every knob this preset
-sets is ALSO the shipping default (packed layout,
+As of the round-2/round-4 6-seed SWD promotion studies, every knob this
+preset sets is ALSO the shipping default (packed layout,
 matmul_precision='default', fused fast augmentation, fused boundary
-convs, shear warp, mixed bf16 compute, GP-fake reuse) — the preset is
+convs, shear warp, mixed bf16 compute, GP-fake reuse, full-lane 2x4
+packing) — the preset is
 kept as an explicit, self-describing pin of the fast path that stays
 fast even if a future study demotes a default, and as the documented
 home of the speed/quality knob set.
@@ -16,9 +17,12 @@ home of the speed/quality knob set.
   draws fresh latents per loss): +13%.
 * ``shear_warp=True``        — 3-pass butterfly shear rotation instead of
   the torchvision-exact point-gather warp.
+* ``packed_lanes=128``       — full-lane 2x4 packed layout with native
+  packed8 boundary kernels at the lane-deficient levels: +15.3%.
 
-22.1 G+D steps/s @512^2 (batch 8, incl. on-device augmentation) vs the
-torch reference's 0.0127 (BASELINE.md, 2026-08-18).
+29.7 G+D steps/s @512^2 (batch 8, incl. on-device augmentation) vs the
+torch reference's 0.0127 (BASELINE.md, 2026-08-21) — identical to the
+shipping default, since every knob here now IS the default.
 
     python train.py --configs config_fast
 """
@@ -81,3 +85,4 @@ N_dis_features = [16, 16, 32, 32, 64, 128]
 compute_dtype = 'mixed'
 gp_reuse_fakes = True
 shear_warp = True
+packed_lanes = 128

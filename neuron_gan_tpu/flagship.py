@@ -23,6 +23,9 @@ def flagship_config(**overrides):
         n_dis_features=(16, 16, 32, 32, 64, 128),
         latent_dim=64, image_size_init=16, n_colors=1,
         packed_min_res=64,      # exact space-to-depth packed layout
+        packed_lanes=128,       # full-lane 2x4 layout + native boundary
+                                # kernels; 6-seed stacked SWD promotion
+                                # (logs/lanes_ab_r4.jsonl; BASELINE.md)
         precision=None,         # = config.matmul_precision 'default'
         compute_dtype='mixed',  # 6-seed SWD promotion (BASELINE.md)
     )
