@@ -202,10 +202,14 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
     results = {}
     for tag, kw in arms:
         # shipping defaults (fast_augment + shear_warp='auto' + mixed
-        # compute + GP-fake reuse, all SWD-promoted); arms may override,
-        # including matmul precision via 'precision_name'
+        # compute + GP-fake reuse + full-lane 2x4 packing, all
+        # SWD-promoted); arms may override, including matmul precision via
+        # 'precision_name'.  packed_lanes is inert on any arm that runs
+        # precision='highest' (the fused boundary kernels gate packed8
+        # entry and auto-disable on the exact parity path).
         kw = {'fast_augment': True, 'shear_warp': 'auto',
-              'compute_dtype': 'mixed', 'gp_reuse_fakes': True, **kw}
+              'compute_dtype': 'mixed', 'gp_reuse_fakes': True,
+              'packed_lanes': 128, **kw}
         precision_name = kw.pop('precision_name', 'default')
         fake, train_s = run_arm(precision_name, dataset, args, args.out,
                                 tag=tag, **kw)
