@@ -104,7 +104,12 @@ def decide(pairs):
     worse_by_spread = sum(1 for d in diffs if d > spread)
     if catastrophic or (n > 1 and mean_d > spread):
         verdict = 'reject'
-    elif n >= 4 and abs(mean_d) < spread and worse_by_spread <= n // 2:
+    elif n >= 4 and mean_d < spread and worse_by_spread <= n // 2:
+        # covers both "no detectable difference" (|mean_d| < spread) and
+        # "candidate better beyond seed noise" (mean_d < -spread) — the
+        # latter previously fell through to keep-opt-in, a blind spot the
+        # round-4 shear regeneration hit (shear better by 0.068 vs spread
+        # 0.059 got 'keep-opt-in' despite being the favorable tail)
         verdict = 'promote'
     else:
         verdict = 'keep-opt-in'
