@@ -112,12 +112,15 @@ class PGConfig:
     # copy and the group-mean pass.  Same None-auto gating as fuse_up2_conv.
     fuse_pool_conv: Optional[bool] = None
     # Lift 64-channel packed stride-1 block convs to the full-lane 2x4
-    # layout (ops/packed.py packed8_*): the W-only repack is a pure
-    # reshape and the 128-channel conv is ~1.3x faster fwd+bwd on the same
-    # activation bytes (tools/lane_bench.py --chain; BASELINE.md
-    # "full-lane 2x4 packing").  128 enables, 64/None keeps the 2x2
-    # layout (None = auto, currently off pending the end-to-end promotion
-    # study).
+    # layout (ops/packed.py packed8_*), with the fused boundary kernels
+    # emitting/accepting packed8 natively: +15.3% at 512^2, promoted to
+    # the SHIPPING default by the round-4 6-seed stacked SWD study
+    # (logs/lanes_ab_r4.jsonl; BASELINE.md "full-lane 2x4 packing").
+    # 128 enables, 64/None keeps the 2x2 layout.  The dataclass default
+    # stays None so the op-level parity surface is unchanged; the shipping
+    # 128 default is applied at the config-module / flagship layer
+    # (configs/config.py packed_lanes, neuron_gan_tpu/flagship.py) — users
+    # constructing PGConfig directly opt in explicitly.
     packed_lanes: Optional[int] = None
 
     def __post_init__(self):

@@ -1,11 +1,15 @@
 """tools/ab_aggregate.py: the multi-seed promotion rule.
 
-The rule (documented in the tool): promote only when the mean paired SWD
-difference is inside the BASELINE arm's own across-seed spread, no
-candidate seed is catastrophic (outside the baseline's observed support),
-and the candidate is not worse-by-more-than-spread in a majority of seeds;
-reject on systematic worsening or any catastrophic seed; otherwise stay
-opt-in (underpowered).
+The rule (documented in the tool): promote when the mean paired SWD
+difference is below the BASELINE arm's own across-seed spread — which
+covers both "no detectable difference" (|mean_d| < spread) and "candidate
+better beyond seed noise" (mean_d < -spread) — with no catastrophic seed
+(outside the baseline's observed support) and the candidate not
+worse-by-more-than-spread in a majority of seeds; reject on systematic
+worsening (mean_d > spread) or any catastrophic seed; otherwise stay
+opt-in (underpowered).  The better-beyond-noise branch was added after the
+round-4 shear regeneration fell through the old |mean_d| < spread test
+despite being favorable (BASELINE.md, shear round-4 regeneration note).
 """
 
 import json
@@ -27,6 +31,19 @@ def test_promote_when_diff_inside_seed_noise():
     r = decide(pairs)
     assert r['verdict'] == 'promote'
     assert abs(r['mean_paired_diff'] - 0.0075) < 1e-3
+    assert r['catastrophic_seeds'] == []
+
+
+def test_promote_when_candidate_better_beyond_spread():
+    # the round-4 shear regeneration's actual numbers (BASELINE.md): mean
+    # paired diff -0.0678 vs baseline spread 0.0588 — better BEYOND seed
+    # noise.  The pre-round-4 |mean_d| < spread rule dropped this to
+    # keep-opt-in; the favorable tail must promote.
+    pairs = [(0.2879, 0.2038), (0.4215, 0.3449), (0.4387, 0.2858),
+             (0.3519, 0.3710), (0.3321, 0.2356), (0.4086, 0.3927)]
+    r = decide(pairs)
+    assert r['verdict'] == 'promote'
+    assert r['mean_paired_diff'] < -r['base_seed_spread']
     assert r['catastrophic_seeds'] == []
 
 

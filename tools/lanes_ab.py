@@ -37,7 +37,12 @@ def main():
                                         'compute_dtype': 'float32',
                                         'fast_augment': False,
                                         'shear_warp': False,
-                                        'gp_reuse_fakes': False}),
+                                        'gp_reuse_fakes': False,
+                                        # the packed8 interior gates on
+                                        # packed_lanes alone — pin the 2x2
+                                        # layout so this arm is the exact
+                                        # reference-semantics path
+                                        'packed_lanes': None}),
                          ('shipping_lanes', {'packed_lanes': 128})],
                    verdict_ok='stack_ok', verdict_worse='stack_worse')
 

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
 def capture(phase, n_epochs, trace_dir, pallas_conv=False,
-            packed_lanes=None):
+            packed_lanes='flagship'):
     import jax
     import jax.numpy as jnp
     import neuron_gan_tpu
@@ -42,7 +42,8 @@ def capture(phase, n_epochs, trace_dir, pallas_conv=False,
 
     cfg = flagship_config(**{
         **({'pallas_conv': True} if pallas_conv else {}),
-        **({'packed_lanes': packed_lanes} if packed_lanes else {})})
+        **({} if packed_lanes == 'flagship' else
+           {'packed_lanes': packed_lanes})})
     if phase is None:
         phase = cfg.n_phases - 1
     batch, n_images = 8, 16
@@ -109,13 +110,13 @@ def main():
     ap.add_argument('--pallas-conv', action='store_true',
                     help='route packed block convs through the fused '
                          'Pallas conv+lrelu+pixelnorm kernel')
-    ap.add_argument('--lanes-128', action='store_true',
-                    help='full-lane 2x4 packed block interiors '
-                         '(packed_lanes=128)')
+    ap.add_argument('--lanes-64', action='store_true',
+                    help='retired 2x2-only layout (packed_lanes=None); '
+                         'the default traces the shipping packed_lanes=128')
     args = ap.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix='op_trace_')
     n_steps = capture(args.phase, args.epochs, trace_dir, args.pallas_conv,
-                      128 if args.lanes_128 else None)
+                      None if args.lanes_64 else 'flagship')
     report(trace_dir, n_steps, args.top)
 
 

@@ -204,9 +204,12 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
         # shipping defaults (fast_augment + shear_warp='auto' + mixed
         # compute + GP-fake reuse + full-lane 2x4 packing, all
         # SWD-promoted); arms may override, including matmul precision via
-        # 'precision_name'.  packed_lanes is inert on any arm that runs
-        # precision='highest' (the fused boundary kernels gate packed8
-        # entry and auto-disable on the exact parity path).
+        # 'precision_name'.  NOTE: only the fused BOUNDARY kernels gate on
+        # precision; the packed8 block-interior sandwich gates on
+        # packed_lanes alone (models/pggan.py::_use_packed8), so any
+        # reference/exact arm must pin 'packed_lanes': None itself or it
+        # runs float-reordered packed8 interior convs at the 16-feature
+        # levels (lanes_ab.py / stacked_ab.py do pin it).
         kw = {'fast_augment': True, 'shear_warp': 'auto',
               'compute_dtype': 'mixed', 'gp_reuse_fakes': True,
               'packed_lanes': 128, **kw}
