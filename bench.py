@@ -254,18 +254,32 @@ def bench_eval(n_images=20, n_iters=20, fast=False):
     )
     params = init_generator_pg(jax.random.PRNGKey(0), cfg)
 
-    @jax.jit
-    def grid(params, key):
-        z = sample_latent_vec(key, (n_images, cfg.latent_dim))
-        return generator_pg(params, z, cfg, cfg.n_phases - 1)
+    # All n_iters grids inside ONE jitted scan: the round-4 re-measure was
+    # abandoned because a python loop of per-grid dispatches is
+    # relay-dispatch-bound (an UNCHANGED executable swung 3x with host
+    # conditions — BASELINE.md).  Scanning amortizes dispatch exactly the
+    # way the training bench does; each scan iteration still materializes
+    # the full grid on device (the reduce that keeps the carry small reads
+    # it afterwards).
+    from jax import lax
 
-    np.asarray(grid(params, jax.random.PRNGKey(0)))  # compile
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = grid(params, jax.random.PRNGKey(i + 1))
-    np.asarray(out)
-    dt = time.perf_counter() - t0
-    return n_images * n_iters / dt
+    @jax.jit
+    def grids(params, key):
+        def body(k, _):
+            k, sub = jax.random.split(k)
+            z = sample_latent_vec(sub, (n_images, cfg.latent_dim))
+            img = generator_pg(params, z, cfg, cfg.n_phases - 1)
+            return k, img.astype(jnp.float32).mean()
+        _, means = lax.scan(body, key, None, length=n_iters)
+        return means.sum()
+
+    np.asarray(grids(params, jax.random.PRNGKey(0)))  # compile + warm
+    best = float('inf')
+    for rep in range(3):
+        t0 = time.perf_counter()
+        np.asarray(grids(params, jax.random.PRNGKey(rep + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return n_images * n_iters / best
 
 
 def bench_torch_reference(n_steps=2, phase=5):

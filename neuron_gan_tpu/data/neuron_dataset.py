@@ -157,6 +157,10 @@ class NeuronDataset:
         self.augmentations = augmentations
         self.im_translation = im_translation
         self.seed = seed
+        # noise-stats backend, decided once per dataset build (part of the
+        # cache key; per-image non-uint8 frames still take the numpy path)
+        from neuron_gan_tpu.runtime import native_available
+        self._stats_impl = 'native' if native_available() else 'numpy'
 
         self.filenames = sorted(
             os.path.join(directory, f) for f in os.listdir(directory)
@@ -207,10 +211,22 @@ class NeuronDataset:
         if arr.ndim == 3:  # collapse to single channel like the 1-color config
             arr = arr[..., 0]
         thresh = threshold_multiotsu(arr, classes=4)
-        is_noise = np.logical_and(arr > 0, arr < thresh[0])
-        noise_vals = arr[is_noise]
-        self.images_noise_mean[index] = noise_vals.mean() if noise_vals.size else 0.0
-        self.images_noise_std[index] = noise_vals.std() if noise_vals.size else 0.0
+        if self._stats_impl == 'native' and arr.dtype == np.uint8:
+            # one C pass instead of mask + fancy-index + two reductions;
+            # the mean is bit-identical to numpy's (exact integer sums in
+            # double), the std differs ~1e-15 in final rounding — which is
+            # why _cache_key records the backend (runtime/preproc.cpp)
+            from neuron_gan_tpu.runtime import noise_stats_u8
+            mean, std = noise_stats_u8(arr, float(thresh[0]))
+            self.images_noise_mean[index] = mean
+            self.images_noise_std[index] = std
+        else:
+            is_noise = np.logical_and(arr > 0, arr < thresh[0])
+            noise_vals = arr[is_noise]
+            self.images_noise_mean[index] = (noise_vals.mean()
+                                             if noise_vals.size else 0.0)
+            self.images_noise_std[index] = (noise_vals.std()
+                                            if noise_vals.size else 0.0)
 
         # reference border pad, then center in the common frame
         h, w = arr.shape
@@ -233,8 +249,13 @@ class NeuronDataset:
     def _cache_key(self, frame: int):
         entries = [(os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
                    for f in self.filenames]
-        # frame = max image dim + 2*pad, so it pins the padded geometry
-        return {'frame': frame, 'seed': self.seed, 'files': entries}
+        # frame = max image dim + 2*pad, so it pins the padded geometry.
+        # 'stats' pins which noise-stats backend built the stack: the native
+        # std differs from numpy's at ~1e-15 (runtime/preproc.cpp), so a
+        # stack cached under one backend is rebuilt rather than silently
+        # reused when the environment gains/loses the native library.
+        return {'frame': frame, 'seed': self.seed, 'files': entries,
+                'stats': self._stats_impl}
 
     def _open_or_build_cache(self, frame: int):
         import json

@@ -134,47 +134,55 @@ def _group_mat(cn, n_groups=4):
 
 def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False,
                           n_groups=4):
-    """Grouped PixelNorm without materializing the (..., 4, C) view:
-    per-group mean-of-squares via one tiny 0/1 einsum (4C -> 4) and the
-    broadcast back via its transpose (4 -> 4C).
+    """Grouped PixelNorm without materializing the (..., G, C) view: ONE
+    full-lane dot against the (GC, GC) 0/1 SAME-GROUP matrix G·Gᵀ yields
+    each channel's group sum-of-squares already broadcast to its whole
+    group, so the old broadcast-back einsum disappears and the
+    rsqrt+multiply are pure elementwise consumers of the dot output (XLA
+    fuses them into its epilogue — the stats tensor never hits HBM).
 
-    Same math as ``packed_pixel_norm`` with a dot-product summation order;
-    the normalization statistics ACCUMULATE in float32 in every mode (the
-    'mixed' recipe deliberately keeps PixelNorm stats full-precision —
-    BASELINE.md), and the adjoint of an einsum-against-a-constant is an
-    einsum (cheap under the GP double-backward; the ``jnp.take``-style
-    gather adjoints are not).  Used on the fast-precision path;
-    ``precision='highest'`` keeps the reduce formulation whose summation
-    order bit-matches the unpacked ``pixel_norm``.
+    History: the round-2 form was a (GC, G) stats dot + a (G, GC)
+    broadcast-back dot.  The round-5 microbench at the packed8 top-phase
+    shape (tools/epilogue_bench.py) measured the single same-group dot at
+    1.59x fwd / 1.24x fwd+bwd / 1.12x GP-second-order over that pair:
+    16x the MACs, but the (128, 8) dot used 8 of 128 output lanes while
+    this one runs the MXU full-lane, and one fusion barrier replaces two.
+    Per-output-element accumulation order is IDENTICAL to the stats dot
+    (the same k contraction order with the same 0/1 mask; adding
+    structural zeros is exact), so the output is bit-equal to the old
+    pair — no quality gate applies.  The alternatives (8-group Pallas
+    epilogue, grouped-view reduce, select/take broadcasts) all measured
+    slower — table in BASELINE.md round 5.
 
-    For bfloat16 inputs the einsums feed the MXU bf16 operands directly
-    with ``preferred_element_type=float32`` (the MXU multiplies bf16
-    pairs exactly and accumulates in f32), instead of materializing a
-    full-size float32 copy of the activation on both sides of the stats
-    — ~3x less HBM traffic per epilogue.  vs the materialized-f32 form
-    this rounds three scalars once each (x^2, the rsqrt scale, the final
-    multiply), a <=2-bf16-ulp output perturbation with NO change to the
-    f32 accumulation of the statistics — the same deviation class as the
-    accepted Pallas epilogue kernel (ops/pallas_kernels.py), far inside
-    the promoted mixed recipe's noise bar."""
+    The normalization statistics ACCUMULATE in float32 in every mode (the
+    'mixed' recipe keeps PixelNorm stats full-precision — BASELINE.md).
+    Used on the fast-precision path; ``precision='highest'`` keeps the
+    reduce formulation whose summation order bit-matches the unpacked
+    ``pixel_norm``.
+
+    For bfloat16 inputs the dot feeds the MXU bf16 operands directly with
+    ``preferred_element_type=float32`` (the MXU multiplies bf16 pairs
+    exactly and accumulates in f32) instead of materializing a full-size
+    float32 copy of the activation — the x^2, rsqrt-scale and final
+    multiply each round once, a <=2-bf16-ulp output perturbation with NO
+    change to the f32 accumulation of the statistics (the same deviation
+    class as the accepted Pallas epilogue kernel), far inside the
+    promoted mixed recipe's noise bar."""
     c4 = x_packed.shape[-1]
+    c = c4 // n_groups
+    gm = _group_mat(c4, n_groups)
+    same_group = gm @ gm.T  # (GC, GC) 0/1, exact in bf16
     if f32_stats and x_packed.dtype == jnp.bfloat16:
-        gb = jnp.asarray(_group_mat(c4, n_groups), jnp.bfloat16)  # 0/1: exact in bf16
-        m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(x_packed), gb,
-                        preferred_element_type=jnp.float32) * (n_groups / c4)
-        r = lax.rsqrt(m4 + eps).astype(jnp.bfloat16)  # f32 stats; one round
-        # 0/1 broadcast-back: each output sums exactly one r term — exact
-        scale = jnp.einsum('bhwg,kg->bhwk', r, gb,
-                           preferred_element_type=jnp.bfloat16)
-        return x_packed * scale
+        m = jnp.einsum('bhwk,kj->bhwj', jnp.square(x_packed),
+                       jnp.asarray(same_group, jnp.bfloat16),
+                       preferred_element_type=jnp.float32) * (1.0 / c)
+        return x_packed * lax.rsqrt(m + eps).astype(jnp.bfloat16)
     xf = (x_packed.astype(jnp.float32)
           if f32_stats and x_packed.dtype != jnp.float32 else x_packed)
-    g = jnp.asarray(_group_mat(c4, n_groups), jnp.float32)
-    m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(xf), g,
-                    precision=lax.Precision.HIGHEST) * (n_groups / c4)
-    r = lax.rsqrt(m4 + eps)
-    out = xf * jnp.einsum('bhwg,kg->bhwk', r, g.astype(r.dtype),
-                          precision=lax.Precision.HIGHEST)
+    m = jnp.einsum('bhwk,kj->bhwj', jnp.square(xf),
+                   jnp.asarray(same_group, jnp.float32),
+                   precision=lax.Precision.HIGHEST) * (1.0 / c)
+    out = xf * lax.rsqrt(m + eps)
     return out.astype(x_packed.dtype)
 
 

@@ -32,11 +32,6 @@ def _load():
         lib.noise_stats_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
-        lib.pad_and_fill_u8.restype = ctypes.c_int
-        lib.pad_and_fill_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_float)]
         _LIB = lib
     except (OSError, AttributeError):
         # AttributeError: a stale .so missing one of the symbols — fall
@@ -69,8 +64,14 @@ def multi_otsu_hist(hist, centers, classes=4):
 
 
 def noise_stats_u8(img_u8, thresh):
+    """(mean, std) of pixels 0 < v < thresh of a uint8 image — the
+    reference's background-noise statistics (NeuronDataset.py:94-97),
+    dispatched from ``NeuronDataset._process_one``.  uint8 only: the
+    callers gate on dtype rather than silently value-wrapping wider data
+    through a cast."""
+    img = np.ascontiguousarray(img_u8)
+    assert img.dtype == np.uint8, f'noise_stats_u8 needs uint8, got {img.dtype}'
     lib = _load()
-    img = np.ascontiguousarray(img_u8, dtype=np.uint8)
     if lib is not None:
         mean = ctypes.c_double()
         std = ctypes.c_double()
@@ -82,24 +83,3 @@ def noise_stats_u8(img_u8, thresh):
     if sel.size == 0:
         return 0.0, 0.0
     return float(sel.mean()), float(sel.std())
-
-
-def pad_and_fill_u8(img_u8, pad, mean, std, seed):
-    """Returns the padded, noise-filled [0,1] float32 plane."""
-    lib = _load()
-    img = np.ascontiguousarray(img_u8, dtype=np.uint8)
-    h, w = img.shape
-    if lib is not None:
-        out = np.empty((h + 2 * pad, w + 2 * pad), dtype=np.float32)
-        lib.pad_and_fill_u8(
-            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, pad,
-            float(mean), float(std), int(seed) & 0xFFFFFFFFFFFFFFFF,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-        return out
-    rng = np.random.default_rng(seed)
-    padded = np.pad(img, pad, mode='constant', constant_values=0)
-    noise = std * rng.standard_normal(padded.shape) + mean
-    out = padded.astype(np.float64)
-    is_zero = padded == 0
-    out[is_zero] = np.clip(noise[is_zero], 0, 255).astype(np.uint8)
-    return (out / 255.0).astype(np.float32)

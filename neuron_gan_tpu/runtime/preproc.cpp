@@ -5,9 +5,18 @@
 //   * multi_otsu: k-class Otsu thresholding via dynamic programming on
 //     cumulative histogram moments (the skimage.threshold_multiotsu
 //     equivalent the reference uses at NeuronDataset.py:93),
-//   * pad_and_fill: zero-pad by `pad` and replace zero pixels with Gaussian
-//     noise from the image's background statistics, producing the final
-//     [0,1] float32 plane (NeuronDataset.py:13-20, :101-107).
+//   * noise_stats: background-pixel mean/std below the first threshold
+//     (NeuronDataset.py:94-97) — one pass over the image instead of the
+//     numpy mask + fancy-index + two-reduction sequence.
+//
+// Both dispatch from the production dataset path
+// (data/neuron_dataset.py::threshold_multiotsu / _process_one).  The
+// noise FILL itself stays in numpy on purpose: its per-image
+// `default_rng([seed, index])` Philox stream is part of the dataset cache
+// contract and no native PRNG can reproduce it (a pad_and_fill kernel
+// with its own xorshift stream existed through round 4 but was
+// unreachable from production for exactly that reason — removed, VERDICT
+// r4 item 5).
 //
 // Exposed as a plain C ABI for ctypes; the Python side
 // (neuron_gan_tpu/runtime/native.py) falls back to the numpy implementation
@@ -20,43 +29,6 @@
 #include <cstring>
 #include <limits>
 #include <vector>
-
-namespace {
-
-// xorshift128+ PRNG — fast, reproducible across platforms.
-struct Rng {
-  uint64_t s0, s1;
-  explicit Rng(uint64_t seed) {
-    // splitmix64 seeding
-    auto next = [&seed]() {
-      seed += 0x9E3779B97f4A7C15ULL;
-      uint64_t z = seed;
-      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
-      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
-      return z ^ (z >> 31);
-    };
-    s0 = next();
-    s1 = next();
-  }
-  uint64_t next_u64() {
-    uint64_t x = s0, y = s1;
-    s0 = y;
-    x ^= x << 23;
-    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
-    return s1 + y;
-  }
-  double uniform() {  // [0, 1)
-    return (next_u64() >> 11) * (1.0 / 9007199254740992.0);
-  }
-  // Box-Muller; one value per call (second discarded for simplicity)
-  double normal() {
-    double u1 = uniform(), u2 = uniform();
-    if (u1 < 1e-300) u1 = 1e-300;
-    return std::sqrt(-2.0 * std::log(u1)) * std::cos(2.0 * M_PI * u2);
-  }
-};
-
-}  // namespace
 
 extern "C" {
 
@@ -110,6 +82,14 @@ int multi_otsu_hist(const double* hist, const double* centers, int n_bins,
 
 // Noise statistics of pixels 0 < v < thresh (reference NeuronDataset.py:94-97).
 // Returns count; writes mean/std.
+//
+// Numerics vs the numpy two-pass (`sel.mean()`, `sel.std()`): uint8 values
+// and their squares sum EXACTLY in double (v <= 255, v^2 <= 65025, counts
+// << 2^53), so the mean is bit-identical to numpy's; the std differs only
+// in final-operation rounding (moment identity vs numpy's pairwise sum of
+// squared deviations), ~1e-15 relative.  The dataset cache key records
+// which backend built a stack (data/neuron_dataset.py::_cache_key) so the
+// ulp-level difference can never mix within one cached stack.
 long long noise_stats_u8(const uint8_t* img, long long n, double thresh,
                          double* mean, double* std_out) {
   double sum = 0, sum2 = 0;
@@ -129,37 +109,6 @@ long long noise_stats_u8(const uint8_t* img, long long n, double thresh,
   *mean = m;
   *std_out = std::sqrt(var);
   return cnt;
-}
-
-// Pad a (h, w) uint8 image by `pad` zeros per side, fill zero pixels with
-// N(mean, std) noise cast to uint8 (matching the reference's integer
-// write-back, NeuronDataset.py:13-20), and write the final [0,1] float32
-// plane of size (h+2p)*(w+2p).
-int pad_and_fill_u8(const uint8_t* img, int h, int w, int pad, double mean,
-                    double stddev, uint64_t seed, float* out) {
-  const int H = h + 2 * pad, W = w + 2 * pad;
-  Rng rng(seed);
-  for (int y = 0; y < H; ++y) {
-    for (int x = 0; x < W; ++x) {
-      int v;
-      const int sy = y - pad, sx = x - pad;
-      if (sy >= 0 && sy < h && sx >= 0 && sx < w) {
-        v = img[(long long)sy * w + sx];
-      } else {
-        v = 0;
-      }
-      if (v == 0) {
-        const double noise = stddev * rng.normal() + mean;
-        // cast like numpy's astype(uint8): truncation of the double with
-        // wraparound out of range — clamp instead (safer, same in practice
-        // for background stats far from the uint8 limits)
-        double c = noise < 0 ? 0 : (noise > 255 ? 255 : noise);
-        v = (int)c;
-      }
-      out[(long long)y * W + x] = (float)(v / 255.0);
-    }
-  }
-  return 0;
 }
 
 }  // extern "C"

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from neuron_gan_tpu.runtime import (
-    native_available, multi_otsu_hist, noise_stats_u8, pad_and_fill_u8)
+    native_available, multi_otsu_hist, noise_stats_u8)
 from neuron_gan_tpu.data.neuron_dataset import (
     _multiotsu_from_hist, threshold_multiotsu)
 
@@ -35,28 +35,50 @@ def test_native_noise_stats():
     thresh = 100.0
     mean, std = noise_stats_u8(img, thresh)
     sel = img[(img > 0) & (img < thresh)]
-    assert mean == pytest.approx(sel.mean(), rel=1e-12)
-    assert std == pytest.approx(sel.std(), rel=1e-9)
+    # integer sums are exact in double -> the mean is bit-identical;
+    # the std differs only in final rounding (preproc.cpp numerics note)
+    assert mean == sel.mean()
+    assert std == pytest.approx(sel.std(), rel=1e-12)
+
+
+def test_noise_stats_rejects_non_uint8():
+    with pytest.raises(AssertionError):
+        noise_stats_u8(np.zeros((4, 4), np.uint16), 10.0)
 
 
 @needs_native
-def test_native_pad_and_fill_structure():
-    rng = np.random.default_rng(2)
-    img = rng.integers(10, 255, size=(8, 8), dtype=np.uint8)
-    img[0, 0] = 0
-    out = pad_and_fill_u8(img, pad=2, mean=20.0, std=3.0, seed=7)
-    assert out.shape == (12, 12)
-    assert out.dtype == np.float32
-    # non-zero source pixels pass through exactly
-    np.testing.assert_allclose(out[2:10, 2:10][img > 0],
-                               img[img > 0] / 255.0, rtol=1e-6)
-    # padding and zero pixels got noise (mean ~20/255)
-    border = np.concatenate([out[:2].ravel(), out[-2:].ravel()])
-    assert 10 / 255 < border.mean() < 30 / 255
-    assert (border >= 0).all() and (border <= 1).all()
-    # deterministic per seed
-    out2 = pad_and_fill_u8(img, pad=2, mean=20.0, std=3.0, seed=7)
-    np.testing.assert_array_equal(out, out2)
+def test_dataset_dispatches_native_stats(tmp_path, monkeypatch):
+    """The production NeuronDataset path reaches the native backend: the
+    stats it records match the numpy path's bit-for-bit on the mean (and
+    to final-rounding on the std), and the cache key names the backend."""
+    from PIL import Image
+    from neuron_gan_tpu.data import neuron_dataset as nd
+
+    rng = np.random.default_rng(7)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for i in range(2):
+        img = rng.normal(20, 5, (32, 32)).clip(0, 255)
+        img[8:20, 10:22] = rng.normal(180, 20, (12, 12)).clip(0, 255)
+        img[:3, :3] = 0
+        Image.fromarray(img.astype(np.uint8), mode='L').save(d / f'i{i}.png')
+
+    ds_native = nd.NeuronDataset(str(d), image_size=32)
+    assert ds_native._stats_impl == 'native'
+    assert ds_native._cache_key(48)['stats'] == 'native'
+
+    monkeypatch.setattr(
+        'neuron_gan_tpu.runtime.native._load', lambda: None)
+    ds_numpy = nd.NeuronDataset(str(d), image_size=32)
+    assert ds_numpy._stats_impl == 'numpy'
+    assert ds_numpy._cache_key(48)['stats'] == 'numpy'
+    np.testing.assert_array_equal(ds_native.images_noise_mean,
+                                  ds_numpy.images_noise_mean)
+    np.testing.assert_allclose(ds_native.images_noise_std,
+                               ds_numpy.images_noise_std, rtol=1e-12)
+    # identical stats + identical per-image RNG streams -> identical stacks
+    np.testing.assert_allclose(np.asarray(ds_native.images),
+                               np.asarray(ds_numpy.images), atol=1e-7)
 
 
 def test_threshold_multiotsu_dispatch_consistent():

@@ -238,59 +238,24 @@ def run_quality_ab(args, arms, verdict_ok, verdict_worse):
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--epochs', type=int, default=2500)
-    ap.add_argument('--transits', type=int, nargs='*', default=[500, 1000, 1500])
-    ap.add_argument('--alpha_step', type=float, default=0.0025)
-    ap.add_argument('--res', type=int, default=128)
-    ap.add_argument('--seed', type=int, default=1)
-    ap.add_argument('--n_fake', type=int, default=64)
-    ap.add_argument('--out', type=str, default='/tmp/precision_ab')
-    ap.add_argument('--arms', type=str, nargs='*',
-                    default=['highest', 'default'],
-                    choices=['highest', 'high', 'default'])
-    args = ap.parse_args()
-
-    import neuron_gan_tpu
-    neuron_gan_tpu.enable_compilation_cache()
-    import jax
-    from neuron_gan_tpu.data import NeuronDataset
-    from neuron_gan_tpu.data.augment import AugmentSpec, augment_batch
-    from neuron_gan_tpu.metrics import swd_multiscale
-
-    os.makedirs(args.out, exist_ok=True)
-    ds_dir = os.path.join(args.out, 'dataset')
-    build_dataset_dir(ds_dir, args.res, seed=args.seed)
-    dataset = NeuronDataset(ds_dir, image_size=args.res, seed=args.seed)
-
-    # the real comparison set: crop + renorm, no augmentation
-    import jax.numpy as jnp
-    spec = AugmentSpec(crop_size=args.res, out_size=args.res,
-                       translation=0.0, augment=False)
-    real = np.asarray(augment_batch(jnp.asarray(dataset.images),
-                                    jax.random.PRNGKey(0), spec))
-
-    results = {}
-    for arm in args.arms:
-        # shipping augmentation defaults, matching run_quality_ab — the
-        # precision knob is measured on the production pipeline
-        fake, train_s = run_arm(arm, dataset, args, args.out,
-                                fast_augment=True, shear_warp='auto')
-        lv, mean = swd_multiscale(real, fake, jax.random.PRNGKey(123),
-                                  n_patches=2048, n_repeats=8)
-        results[arm] = {'swd_mean': round(mean, 4),
-                        'swd_levels': [round(float(v), 4) for v in lv],
-                        'train_seconds': round(train_s, 1)}
-        print(json.dumps({'arm': arm, **results[arm]}), flush=True)
-
-    if 'highest' in results and 'default' in results:
-        d_h = results['highest']['swd_mean']
-        d_d = results['default']['swd_mean']
-        verdict = 'default_ok' if d_d <= 1.15 * d_h else 'default_worse'
-        print(json.dumps({'verdict': verdict, 'highest': d_h, 'default': d_d,
-                          'speedup_hint': round(
-                              results['highest']['train_seconds']
-                              / results['default']['train_seconds'], 2)}))
+    # Round-5 regeneration arms (VERDICT r4 item 2): the matmul-precision
+    # knob at 6 seeds under the shipping stack's SEMANTICS (fast augment,
+    # shear auto, GP-fake reuse on both arms) with float32 activations on
+    # both arms — the knob's worst-case numerics divergence (one bf16 conv
+    # pass over f32 data; under compute_dtype='mixed' the operands are
+    # bf16 anyway and the knob barely bites).  The 'default' arm routes
+    # the precision-gated fused boundary kernels and the packed8 layout,
+    # exactly what ships when a user sets compute_dtype='float32'; the
+    # 'highest' arm is the full exact-decomposition parity path
+    # (packed_lanes=None — see the run_quality_ab note).
+    args = make_quality_ab_parser('/tmp/precision_ab').parse_args()
+    run_quality_ab(args,
+                   arms=[('highest', {'precision_name': 'highest',
+                                      'compute_dtype': 'float32',
+                                      'packed_lanes': None}),
+                         ('default', {'precision_name': 'default',
+                                      'compute_dtype': 'float32'})],
+                   verdict_ok='default_ok', verdict_worse='default_worse')
 
 
 if __name__ == '__main__':
