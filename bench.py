@@ -168,9 +168,11 @@ def bench_mesh(mesh_shape, phase=2, n_epochs_chunk=5):
     if backend == 'cpu-virtual':
         cfg = PGConfig(n_gen_features=(16, 8, 8), n_dis_features=(8, 8, 16),
                        latent_dim=16, image_size_init=16, packed_min_res=64,
-                       precision=None, compute_dtype='mixed')
+                       packed_lanes=128, precision=None,
+                       compute_dtype='mixed')
         phase = min(phase, cfg.n_phases - 1)
-        geometry = 'reduced (dryrun-scale, packed 64^2 top)'
+        geometry = ('reduced (dryrun-scale, packed_lanes=128 native-2x4 '
+                    '64^2 top)')
         pad = cfg.resolution(cfg.n_phases - 1)  # 64 + 2*16 crop padding
         crop = pad
         image_hw = pad + pad // 2
