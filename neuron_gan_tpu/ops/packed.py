@@ -147,12 +147,16 @@ def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False,
     1.59x fwd / 1.24x fwd+bwd / 1.12x GP-second-order over that pair:
     16x the MACs, but the (128, 8) dot used 8 of 128 output lanes while
     this one runs the MXU full-lane, and one fusion barrier replaces two.
-    Per-output-element accumulation order is IDENTICAL to the stats dot
-    (the same k contraction order with the same 0/1 mask; adding
-    structural zeros is exact), so the output is bit-equal to the old
-    pair — no quality gate applies.  The alternatives (8-group Pallas
-    epilogue, grouped-view reduce, select/take broadcasts) all measured
-    slower — table in BASELINE.md round 5.
+    On the TPU backend the output measured BIT-EQUAL to the old pair
+    across the full conv->epilogue chain (epilogue_bench sanity check:
+    max deviation 0.0); a dot's contraction blocking is in general
+    implementation-defined per output width, so the cross-backend
+    guarantee is the reorder-level bound (1-2 f32 ulps — the fused
+    kernels' accepted float-equivalence class; pinned by
+    tests/test_packed.py::test_packed_pixel_norm_mxu_matches_einsum_pair)
+    — no quality gate applies either way.  The alternatives (8-group
+    Pallas epilogue, grouped-view reduce, select/take broadcasts) all
+    measured slower — table in BASELINE.md round 5.
 
     The normalization statistics ACCUMULATE in float32 in every mode (the
     'mixed' recipe keeps PixelNorm stats full-precision — BASELINE.md).

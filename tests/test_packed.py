@@ -107,6 +107,54 @@ def test_packed_pixel_norm_mxu_matches_reduce():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_packed_pixel_norm_mxu_matches_einsum_pair():
+    """The round-5 same-group-dot formulation vs an inline
+    reimplementation of the retired round-2 (GC,G) stats dot + (G,GC)
+    broadcast-dot pair, in both the f32-HIGHEST and bf16-MXU modes.  On
+    the TPU backend the full-chain deviation measured exactly 0.0
+    (tools/epilogue_bench.py sanity check); in general the dot's
+    contraction blocking is implementation-defined per output width, so
+    this cross-backend test pins the reorder-level bound (1-2 f32 ulps /
+    1 bf16 ulp — the fused kernels' accepted float-equivalence class),
+    which is what the no-quality-gate argument rests on."""
+    from jax import lax
+
+    def pair_form(x_packed, eps=1e-8, f32_stats=False, n_groups=4):
+        c4 = x_packed.shape[-1]
+        if f32_stats and x_packed.dtype == jnp.bfloat16:
+            gb = jnp.asarray(pk._group_mat(c4, n_groups), jnp.bfloat16)
+            m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(x_packed), gb,
+                            preferred_element_type=jnp.float32) \
+                * (n_groups / c4)
+            r = lax.rsqrt(m4 + eps).astype(jnp.bfloat16)
+            scale = jnp.einsum('bhwg,kg->bhwk', r, gb,
+                               preferred_element_type=jnp.bfloat16)
+            return x_packed * scale
+        g = jnp.asarray(pk._group_mat(c4, n_groups), jnp.float32)
+        m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(x_packed), g,
+                        precision=lax.Precision.HIGHEST) * (n_groups / c4)
+        r = lax.rsqrt(m4 + eps)
+        out = x_packed * jnp.einsum('bhwg,kg->bhwk', r, g,
+                                    precision=lax.Precision.HIGHEST)
+        return out.astype(x_packed.dtype)
+
+    rng = np.random.default_rng(55)
+    for groups, c4 in [(4, 8), (4, 64), (8, 128)]:
+        x = jnp.asarray(
+            rng.standard_normal((2, 4, 4, c4)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(pk.packed_pixel_norm_mxu(x, n_groups=groups)),
+            np.asarray(pair_form(x, n_groups=groups)),
+            rtol=1e-6, atol=1e-6)
+        xb = x.astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(pk.packed_pixel_norm_mxu(
+                xb, f32_stats=True, n_groups=groups).astype(jnp.float32)),
+            np.asarray(pair_form(
+                xb, f32_stats=True, n_groups=groups).astype(jnp.float32)),
+            rtol=2.0 ** -8, atol=2.0 ** -8)
+
+
 def test_packed_avg_pool_exact():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))

@@ -183,12 +183,19 @@ def test_shipping_augment_data_model_parallel_matches_single_device():
     s2, st2 = run({'data': 2, 'model': 2}, n_epochs=1, cfg=cfg_fast,
                   base=base, image_hw=96)
     np.testing.assert_allclose(st1, st2, rtol=1e-5, atol=1e-6)
+    # Param tolerance: the fast path's same-group PixelNorm dot contracts
+    # over the 'model'-sharded channel axis, so the dp x tp partial sums
+    # reassociate its f32 accumulation vs single-device, and one Adam step
+    # amplifies that to ~2e-3 on isolated weights (sign-normalizing update
+    # — see tests/test_packed.py's trajectory-chaos note).  Exact
+    # collective correctness is pinned by the precision='highest' mesh
+    # tests above, whose reduce-form epilogue is sharding-invariant.
     for a, b in zip(jax.tree.leaves(s1['g_params']),
                     jax.tree.leaves(s2['g_params'])):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
     for a, b in zip(jax.tree.leaves(s1['d_params']),
                     jax.tree.leaves(s2['d_params'])):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
 
 
 @pytest.mark.slow
