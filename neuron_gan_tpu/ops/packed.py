@@ -142,7 +142,8 @@ def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False,
     fuses them into its epilogue — the stats tensor never hits HBM).
 
     History: the round-2 form was a (GC, G) stats dot + a (G, GC)
-    broadcast-back dot.  The round-5 microbench at the packed8 top-phase
+    broadcast-back dot; it remains the narrow-width branch (the width
+    gate below).  The round-5 microbench at the packed8 top-phase
     shape (tools/epilogue_bench.py) measured the single same-group dot at
     1.59x fwd / 1.24x fwd+bwd / 1.12x GP-second-order over that pair:
     16x the MACs, but the (128, 8) dot used 8 of 128 output lanes while
@@ -175,18 +176,44 @@ def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False,
     c4 = x_packed.shape[-1]
     c = c4 // n_groups
     gm = _group_mat(c4, n_groups)
-    same_group = gm @ gm.T  # (GC, GC) 0/1, exact in bf16
+    # Width gate: the same-group dot wins where the channel width fills
+    # the 128 VREG lanes (every level of the SHIPPING packed_lanes=128
+    # config); at half-lane widths (the retired 2x2 layout's 16-feature
+    # levels, c4=64) its GCx MAC inflation is not free and the pair form
+    # measured faster end-to-end (512^2 2x2: 23.96 same-group vs 25.7
+    # pair — BASELINE.md round 5).
+    if c4 >= 128:
+        same_group = gm @ gm.T  # (GC, GC) 0/1, exact in bf16
+        if f32_stats and x_packed.dtype == jnp.bfloat16:
+            m = jnp.einsum('bhwk,kj->bhwj', jnp.square(x_packed),
+                           jnp.asarray(same_group, jnp.bfloat16),
+                           preferred_element_type=jnp.float32) * (1.0 / c)
+            return x_packed * lax.rsqrt(m + eps).astype(jnp.bfloat16)
+        xf = (x_packed.astype(jnp.float32)
+              if f32_stats and x_packed.dtype != jnp.float32 else x_packed)
+        m = jnp.einsum('bhwk,kj->bhwj', jnp.square(xf),
+                       jnp.asarray(same_group, jnp.float32),
+                       precision=lax.Precision.HIGHEST) * (1.0 / c)
+        out = xf * lax.rsqrt(m + eps)
+        return out.astype(x_packed.dtype)
+    # narrow-width pair form: (GC, G) stats dot + (G, GC) broadcast dot
     if f32_stats and x_packed.dtype == jnp.bfloat16:
-        m = jnp.einsum('bhwk,kj->bhwj', jnp.square(x_packed),
-                       jnp.asarray(same_group, jnp.bfloat16),
-                       preferred_element_type=jnp.float32) * (1.0 / c)
-        return x_packed * lax.rsqrt(m + eps).astype(jnp.bfloat16)
+        gb = jnp.asarray(gm, jnp.bfloat16)  # 0/1: exact in bf16
+        m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(x_packed), gb,
+                        preferred_element_type=jnp.float32) * (1.0 / c)
+        r = lax.rsqrt(m4 + eps).astype(jnp.bfloat16)
+        # 0/1 broadcast-back: each output sums exactly one r term — exact
+        scale = jnp.einsum('bhwg,kg->bhwk', r, gb,
+                           preferred_element_type=jnp.bfloat16)
+        return x_packed * scale
     xf = (x_packed.astype(jnp.float32)
           if f32_stats and x_packed.dtype != jnp.float32 else x_packed)
-    m = jnp.einsum('bhwk,kj->bhwj', jnp.square(xf),
-                   jnp.asarray(same_group, jnp.float32),
-                   precision=lax.Precision.HIGHEST) * (1.0 / c)
-    out = xf * lax.rsqrt(m + eps)
+    g = jnp.asarray(gm, jnp.float32)
+    m4 = jnp.einsum('bhwk,kg->bhwg', jnp.square(xf), g,
+                    precision=lax.Precision.HIGHEST) * (1.0 / c)
+    r = lax.rsqrt(m4 + eps)
+    out = xf * jnp.einsum('bhwg,kg->bhwk', r, g,
+                          precision=lax.Precision.HIGHEST)
     return out.astype(x_packed.dtype)
 
 
