@@ -32,7 +32,7 @@ V5E_HBM_GBPS = 819  # TPU v5e peak HBM bandwidth (public spec), GB/s
 def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
               shear_warp='auto', compute_dtype='mixed', gp_reuse_fakes=True,
               pallas_epilogue=None, pallas_conv=None, unroll=1,
-              packed_lanes=128, gp_remat=False, roofline=None):
+              packed_lanes=128, gp_remat=False, roofline=None, batch=8):
     """Train-step throughput at one growth phase (default: top, 512x512).
 
     ``phase``/``fading`` select the per-phase measurement for the SURVEY §6
@@ -61,12 +61,16 @@ def bench_tpu(n_epochs_chunk=10, phase=None, fading=False, fast_augment=True,
                           packed_lanes=packed_lanes)
     if phase is None:
         phase = cfg.n_phases - 1
-    batch = 8
-    n_images = 16
+    # batch 8 = the reference geometry (config_ex.py); --batch measures
+    # larger-batch throughput headroom (n_images scales so batch always
+    # divides the epoch — the real dataset is 16 images, so batch > 16 is
+    # a throughput-mode measurement, not the reference workload)
+    n_images = max(16, batch)
     spec = flagship_chunk_spec(
         phase, fading=fading, fast_augment=fast_augment,
         shear_warp=shear_warp, gp_reuse_fakes=gp_reuse_fakes,
-        gp_remat=gp_remat)
+        gp_remat=gp_remat, batch_size=batch,
+        n_images=n_images)
 
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     g = init_generator_pg(kg, cfg)
@@ -492,6 +496,19 @@ if __name__ == '__main__':
             sys.exit(f'--unroll expects an integer, got {sys.argv[i + 1]!r}')
         if unroll < 1:
             sys.exit('--unroll must be >= 1')
+    batch = 8
+    if '--batch' in sys.argv:
+        # throughput-mode measurement at a non-reference batch (the real
+        # dataset is 16 images; batch 8 is the config_ex.py geometry)
+        i = sys.argv.index('--batch')
+        if i + 1 >= len(sys.argv):
+            sys.exit('--batch requires an integer, e.g. --batch 16')
+        try:
+            batch = int(sys.argv[i + 1])
+        except ValueError:
+            sys.exit(f'--batch expects an integer, got {sys.argv[i + 1]!r}')
+        if batch < 1:
+            sys.exit('--batch must be >= 1')
     roofline = {}
     value = bench_tpu(shear_warp=(False if '--no-shear' in sys.argv
                                   else 'auto'),
@@ -502,15 +519,20 @@ if __name__ == '__main__':
                       packed_lanes=(None if '--lanes-64' in sys.argv
                                     else 128),
                       gp_remat=('--remat-gp' in sys.argv),
-                      unroll=unroll, roofline=roofline)
+                      unroll=unroll, roofline=roofline, batch=batch)
     baseline = TORCH_REF_STEPS_PER_SEC
-    vs = (value / baseline) if baseline else None
+    vs = (value / baseline) if baseline and batch == 8 else None
     record = {
         'metric': 'wgan_gp_train_steps_per_sec_512',
         'value': round(value, 3),
-        'unit': 'steps/sec (G+D, batch 8, 512x512, incl. on-device aug)',
+        'unit': f'steps/sec (G+D, batch {batch}, 512x512, '
+                'incl. on-device aug)',
         'vs_baseline': round(vs, 2) if vs else None,
     }
+    if batch != 8:
+        record['metric'] += f'_batch{batch}'
+        record['batch'] = batch
+        record['samples_per_sec'] = round(value * batch, 1)
     if 'hbm_gb_per_step' in roofline:
         # upper-bound HBM traffic (XLA cost model) and implied % of v5e peak
         record.update(roofline)
