@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
 def capture(phase, n_epochs, trace_dir, pallas_conv=False,
-            packed_lanes='flagship'):
+            packed_lanes='flagship', batch=8):
     import jax
     import jax.numpy as jnp
     import neuron_gan_tpu
@@ -46,8 +46,8 @@ def capture(phase, n_epochs, trace_dir, pallas_conv=False,
            {'packed_lanes': packed_lanes})})
     if phase is None:
         phase = cfg.n_phases - 1
-    batch, n_images = 8, 16
-    spec = flagship_chunk_spec(phase)
+    n_images = max(16, batch)
+    spec = flagship_chunk_spec(phase, batch_size=batch, n_images=n_images)
 
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     state = init_train_state(init_generator_pg(kg, cfg),
@@ -113,10 +113,13 @@ def main():
     ap.add_argument('--lanes-64', action='store_true',
                     help='retired 2x2-only layout (packed_lanes=None); '
                          'the default traces the shipping packed_lanes=128')
+    ap.add_argument('--batch', type=int, default=8,
+                    help='batch size (8 = the reference geometry; mirrors '
+                         'bench.py --batch for throughput-mode traces)')
     args = ap.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix='op_trace_')
     n_steps = capture(args.phase, args.epochs, trace_dir, args.pallas_conv,
-                      None if args.lanes_64 else 'flagship')
+                      None if args.lanes_64 else 'flagship', args.batch)
     report(trace_dir, n_steps, args.top)
 
 
