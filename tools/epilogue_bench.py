@@ -125,9 +125,46 @@ def epi_bigdot(y):
     return y * lax.rsqrt(m + EPS).astype(jnp.bfloat16)
 
 
+@jax.custom_vjp
+def _bigdot_bf16ct(y):
+    return epi_bigdot(y)
+
+
+def _bigdot_bf16ct_fwd(y):
+    return epi_bigdot(y), y
+
+
+def _bigdot_bf16ct_bwd(y, ct):
+    # the probe: autodiff backward of the same-group-dot epilogue, but
+    # with the full-size f32 intermediates of the cotangent path staged
+    # to bf16 before the backward dot (halves its operand bytes; rounds
+    # the stats cotangent ~2^-8 — would need a 6-seed gate to ship)
+    c8, g = y.shape[-1], 8
+    c = c8 // g
+    gm = pk._group_mat(c8, g)
+    G = jnp.asarray(gm @ gm.T, jnp.bfloat16)
+    yl = _lrelu(y)
+    m = jnp.einsum('bhwk,kj->bhwj', jnp.square(yl), G,
+                   preferred_element_type=jnp.float32) * (1.0 / c)
+    r3 = lax.rsqrt(m + EPS)
+    r = r3.astype(jnp.bfloat16)
+    r3 = (r3 * r3 * r3).astype(jnp.bfloat16)
+    # d out/d yl = r - yl * r^3 * (1/c) * sum_group(ct*yl)... via bf16 dot
+    t = (ct * yl).astype(jnp.bfloat16)
+    s = jnp.einsum('bhwk,kj->bhwj', t, G,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    dyl = ct * r - yl * r3 * s * (1.0 / c)
+    return (jnp.where(y > 0, dyl, 0.2 * dyl),)
+
+
+_bigdot_bf16ct.defvjp(_bigdot_bf16ct_fwd, _bigdot_bf16ct_bwd)
+
+
 FORMS = {'einsum': epi_einsum, 'pallas8': epi_pallas8,
          'reshape': epi_reshape, 'selectb': epi_selectb,
          'takeb': epi_takeb, 'bigdot': epi_bigdot,
+         # first-order probe only (no VJP-of-VJP): skip --second-order
+         'bigdot_bf16ct': _bigdot_bf16ct,
          # conv1x1 is forward-only: the bf16-operand/f32-preferred conv's
          # transpose rule rejects the mixed cotangent dtype
          'conv1x1': epi_conv1x1}
