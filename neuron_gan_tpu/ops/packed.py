@@ -180,8 +180,8 @@ def packed_pixel_norm_mxu(x_packed, eps=1e-8, f32_stats=False,
     # the 128 VREG lanes (every level of the SHIPPING packed_lanes=128
     # config); at half-lane widths (the retired 2x2 layout's 16-feature
     # levels, c4=64) its GCx MAC inflation is not free and the pair form
-    # measured faster end-to-end (512^2 2x2: 23.96 same-group vs 25.7
-    # pair — BASELINE.md round 5).
+    # measured faster end-to-end (512^2 2x2 same-day: 23.96 ungated vs
+    # 24.75 with this gate — BASELINE.md round 5).
     if c4 >= 128:
         same_group = gm @ gm.T  # (GC, GC) 0/1, exact in bf16
         if f32_stats and x_packed.dtype == jnp.bfloat16:
